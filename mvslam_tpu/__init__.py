@@ -1,0 +1,37 @@
+"""mvslam_tpu — TPU-native monocular visual SLAM framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of
+eliyacobov1/monocular-visual-slam (reference layer map in SURVEY.md):
+
+- ``core``       — determinism registry, stable hashing, run artifacts,
+                   telemetry, persistence (reference L0/L6).
+- ``geometry``   — jitted SE(2)/SE(3)/Sim(3) Lie ops, projection,
+                   triangulation, Umeyama alignment (replaces cv2.Rodrigues /
+                   cv2.triangulatePoints paths).
+- ``ops``        — TPU kernels: FAST corners, rBRIEF descriptors, packed
+                   Hamming matching, vmapped RANSAC (replaces cv2 ORB /
+                   BFMatcher / Python RANSAC loops, reference L2).
+- ``frontend``   — feature pipeline + robust pose estimation (reference L2).
+- ``backend``    — factor graphs, Gauss-Newton/LM solvers, pose graphs,
+                   sliding-window bundle adjustment (reference L3).
+- ``loopclosure``— BoW place recognition, persistent maps, relocalization.
+- ``runtime``    — ingestion pipelines, control planes, supervision,
+                   failure injection (reference L1/L4).
+- ``parallel``   — device-mesh sharding of the tracking/solver steps.
+- ``slam``       — SLAMSystem public API + runners (reference L5).
+- ``eval``       — trajectory metrics, evaluation harness, regression
+                   gates, CI runner, governance, readiness (reference L7).
+- ``viz``        — dashboards and live path animation (reference L8).
+"""
+
+__version__ = "0.1.0"
+
+# Geometry/solver correctness requires true-f32 matmuls. On TPU, f32
+# matmuls otherwise run on the MXU with bf16 multiplicands (~3e-3 relative
+# error on a 3x3 compose — fatal for Lie-group roundtrips and normal
+# equations). Throughput-critical kernels that tolerate bf16 request lower
+# precision explicitly at their call sites.
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "highest")
+del _jax

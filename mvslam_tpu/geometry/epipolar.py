@@ -1,0 +1,226 @@
+"""Epipolar geometry: essential/homography estimation + decomposition.
+
+TPU-first replacement for the reference's pure-NumPy multiview module
+(``homography.py``): the 8-point essential solver (ref L222-248), DLT
+homography (ref L118-142), Sampson error (ref L302-345 scoring), symmetric
+transfer error (ref L148-216 scoring), cheirality-based E decomposition
+(ref L251-299), and planar H decomposition (ref L59-78). Everything here
+is written to be *batched over hypotheses* with ``vmap`` — a RANSAC
+iteration becomes one fused device program instead of a Python loop.
+
+All solvers operate on **normalised camera coordinates** (pixels pre-
+multiplied by K⁻¹); RANSAC thresholds are divided by focal length at the
+call site.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from mvslam_tpu.geometry.projection import hartley_normalization
+
+
+def _homogeneous(pts: jnp.ndarray) -> jnp.ndarray:
+    return jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1)
+
+
+def _smallest_singular_vector(A: jnp.ndarray) -> jnp.ndarray:
+    """Right singular vector of A with the smallest singular value.
+
+    Uses eigh on AᵀA (symmetric, ascending eigenvalues) — cheaper and more
+    batch-friendly on TPU than full SVD of a tall matrix.
+    """
+    AtA = jnp.swapaxes(A, -1, -2) @ A
+    _, V = jnp.linalg.eigh(AtA)
+    return V[..., :, 0]
+
+
+def eight_point_essential(pts1: jnp.ndarray, pts2: jnp.ndarray) -> jnp.ndarray:
+    """Essential matrix from ≥8 normalised correspondences (batched).
+
+    pts1, pts2: (..., N, 2) with N ≥ 8. Returns (..., 3, 3) with the
+    rank-2 constraint (singular values 1, 1, 0) enforced.
+    """
+    x1 = _homogeneous(pts1)
+    x2 = _homogeneous(pts2)
+    # Row per correspondence: kron(x2, x1) so that x2ᵀ E x1 = 0.
+    A = (x2[..., :, :, None] * x1[..., :, None, :]).reshape(*x1.shape[:-1], 9)
+    e = _smallest_singular_vector(A)
+    E = e.reshape(*e.shape[:-1], 3, 3)
+    U, _, Vt = jnp.linalg.svd(E)
+    S = jnp.asarray([1.0, 1.0, 0.0], dtype=E.dtype)
+    return U @ (S[..., :, None] * Vt)
+
+
+def sampson_error(E: jnp.ndarray, pts1: jnp.ndarray, pts2: jnp.ndarray) -> jnp.ndarray:
+    """First-order geometric (Sampson) error of x2ᵀ E x1 (batched).
+
+    E: (..., 3, 3); pts: (..., N, 2). Returns (..., N) squared errors.
+    """
+    x1 = _homogeneous(pts1)
+    x2 = _homogeneous(pts2)
+    Ex1 = x1 @ jnp.swapaxes(E, -1, -2)  # (..., N, 3) = (E @ x1ᵀ)ᵀ
+    Etx2 = x2 @ E  # (..., N, 3) = (Eᵀ @ x2ᵀ)ᵀ
+    num = jnp.sum(x2 * Ex1, axis=-1) ** 2
+    den = Ex1[..., 0] ** 2 + Ex1[..., 1] ** 2 + Etx2[..., 0] ** 2 + Etx2[..., 1] ** 2
+    return num / jnp.where(den < 1e-12, 1e-12, den)
+
+
+def decompose_essential(
+    E: jnp.ndarray, pts1: jnp.ndarray, pts2: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Recover (R, t) from E by cheirality voting over the 4 candidates.
+
+    pts1, pts2: (N, 2) normalised inlier correspondences. Candidate test
+    triangulates midpoints in closed form for all N points and all 4
+    (R, t) pairs at once (parity: ``homography.py:251-299`` which loops in
+    Python per point). Returns (R (3,3), t (3,) unit norm, cheirality_count).
+    """
+    U, _, Vt = jnp.linalg.svd(E)
+    # Keep rotations proper.
+    U = U * jnp.sign(jnp.linalg.det(U))
+    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
+    W = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], dtype=E.dtype)
+    R1 = U @ W @ Vt
+    R2 = U @ W.T @ Vt
+    t = U[:, 2]
+    Rs = jnp.stack([R1, R1, R2, R2])  # (4, 3, 3)
+    ts = jnp.stack([t, -t, t, -t])  # (4, 3)
+
+    def depths(R, t_vec):
+        # Linear two-ray triangulation in normalised coords; returns
+        # (z1, z2) depths per point.
+        f1 = _homogeneous(pts1)  # bearing in cam1
+        f2 = _homogeneous(pts2)  # bearing in cam2
+        # X2 = R X1 + t with X1 = z1 f1, X2 = z2 f2 ⇒ solve
+        # [f2 | -R f1] [z2; z1] = t in least squares per point (2 unknowns, 3 eqs).
+        Rf1 = f1 @ R.T
+        A = jnp.stack([f2, -Rf1], axis=-1)  # (N, 3, 2)
+        b = jnp.broadcast_to(t_vec, f1.shape)[..., None]  # (N, 3, 1)
+        AtA = jnp.swapaxes(A, -1, -2) @ A  # (N, 2, 2)
+        Atb = jnp.swapaxes(A, -1, -2) @ b  # (N, 2, 1)
+        det = AtA[..., 0, 0] * AtA[..., 1, 1] - AtA[..., 0, 1] * AtA[..., 1, 0]
+        det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+        z2 = (AtA[..., 1, 1] * Atb[..., 0, 0] - AtA[..., 0, 1] * Atb[..., 1, 0]) / det
+        z1 = (-AtA[..., 1, 0] * Atb[..., 0, 0] + AtA[..., 0, 0] * Atb[..., 1, 0]) / det
+        return z1, z2
+
+    def count_cheirality(R, t_vec):
+        z1, z2 = depths(R, t_vec)
+        return jnp.sum((z1 > 1e-6) & (z2 > 1e-6))
+
+    counts = jnp.stack([count_cheirality(Rs[i], ts[i]) for i in range(4)])
+    best = jnp.argmax(counts)
+    R_best = Rs[best]
+    t_best = ts[best]
+    t_norm = jnp.linalg.norm(t_best)
+    t_best = t_best / jnp.where(t_norm < 1e-12, 1e-12, t_norm)
+    return R_best, t_best, counts[best]
+
+
+def triangulate_normalized(
+    R: jnp.ndarray, t: jnp.ndarray, pts1: jnp.ndarray, pts2: jnp.ndarray
+) -> jnp.ndarray:
+    """Two-ray linear triangulation (normalised coords, cam1 at identity).
+
+    Returns (N, 3) points in cam1 frame; used for parallax/cheirality
+    diagnostics without forming projection matrices.
+    """
+    f1 = _homogeneous(pts1)
+    f2 = _homogeneous(pts2)
+    Rf1 = f1 @ R.T
+    A = jnp.stack([f2, -Rf1], axis=-1)
+    b = jnp.broadcast_to(t, f1.shape)[..., None]
+    AtA = jnp.swapaxes(A, -1, -2) @ A
+    Atb = jnp.swapaxes(A, -1, -2) @ b
+    det = AtA[..., 0, 0] * AtA[..., 1, 1] - AtA[..., 0, 1] * AtA[..., 1, 0]
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    z1 = (-AtA[..., 1, 0] * Atb[..., 0, 0] + AtA[..., 0, 0] * Atb[..., 1, 0]) / det
+    return f1 * z1[..., None]
+
+
+# ---------------------------------------------------------------------------
+# Homography
+# ---------------------------------------------------------------------------
+
+
+def dlt_homography(pts1: jnp.ndarray, pts2: jnp.ndarray) -> jnp.ndarray:
+    """Hartley-normalised DLT homography from ≥4 correspondences (batched).
+
+    pts1, pts2: (..., N, 2), N ≥ 4. Returns (..., 3, 3) with H[2,2] = 1.
+    Parity: ``homography.py:118-142``.
+    """
+    n1, T1 = hartley_normalization(pts1)
+    n2, T2 = hartley_normalization(pts2)
+    x, y = n1[..., 0], n1[..., 1]
+    u, v = n2[..., 0], n2[..., 1]
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    row1 = jnp.stack([-x, -y, -one, zero, zero, zero, u * x, u * y, u], axis=-1)
+    row2 = jnp.stack([zero, zero, zero, -x, -y, -one, v * x, v * y, v], axis=-1)
+    A = jnp.concatenate([row1, row2], axis=-2)
+    h = _smallest_singular_vector(A)
+    Hn = h.reshape(*h.shape[:-1], 3, 3)
+    H = jnp.linalg.inv(T2) @ Hn @ T1
+    scale = H[..., 2:3, 2:3]
+    return H / jnp.where(jnp.abs(scale) < 1e-12, 1e-12, scale)
+
+
+def symmetric_transfer_error(H: jnp.ndarray, pts1: jnp.ndarray, pts2: jnp.ndarray) -> jnp.ndarray:
+    """Forward + backward reprojection error of a homography (batched).
+
+    Returns (..., N) summed squared errors. Parity: ``homography.py:148-216``.
+    """
+    H_inv = jnp.linalg.inv(H)
+
+    def transfer(M, pts):
+        x = _homogeneous(pts)
+        y = x @ jnp.swapaxes(M, -1, -2)
+        w = jnp.where(jnp.abs(y[..., 2:3]) < 1e-12, 1e-12, y[..., 2:3])
+        return y[..., :2] / w
+
+    fwd = transfer(H, pts1) - pts2
+    bwd = transfer(H_inv, pts2) - pts1
+    return jnp.sum(fwd * fwd, axis=-1) + jnp.sum(bwd * bwd, axis=-1)
+
+
+def decompose_homography(
+    H: jnp.ndarray, pts1: jnp.ndarray, pts2: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Planar homography → (R, t_unit, cheirality count) via SVD candidates.
+
+    Simplified Faugeras decomposition over the sign/column ambiguities with
+    cheirality voting against the correspondences (parity:
+    ``homography.py:59-78``). Assumes normalised coordinates.
+    """
+    U, S, Vt = jnp.linalg.svd(H)
+    # Normalise by the middle singular value so the plane-at-unit-distance
+    # convention holds.
+    Hn = H / jnp.where(S[1] < 1e-12, 1e-12, S[1])
+    # Closest rotation to Hn (projection onto SO(3)) + residual translation
+    # direction from the epipolar constraint; evaluate both signs.
+    Ur, _, Vtr = jnp.linalg.svd(Hn)
+    R0 = Ur @ Vtr
+    R0 = R0 * jnp.sign(jnp.linalg.det(R0))
+    # Translation direction ≈ dominant column of (Hn - R0).
+    D = Hn - R0
+    _, _, Vtd = jnp.linalg.svd(D)
+    # t direction = D applied to dominant input direction.
+    n_vec = Vtd[0]
+    t0 = D @ n_vec
+    t_norm = jnp.linalg.norm(t0)
+    t0 = t0 / jnp.where(t_norm < 1e-12, 1e-12, t_norm)
+
+    def count(R, t_vec):
+        pts = triangulate_normalized(R, t_vec, pts1, pts2)
+        z1 = pts[..., 2]
+        cam2 = pts @ R.T + t_vec
+        return jnp.sum((z1 > 1e-6) & (cam2[..., 2] > 1e-6))
+
+    c_pos = count(R0, t0)
+    c_neg = count(R0, -t0)
+    flip = c_neg > c_pos
+    t_best = jnp.where(flip, -t0, t0)
+    return R0, t_best, jnp.maximum(c_pos, c_neg)

@@ -1,0 +1,229 @@
+"""SO(3)/SE(3)/SE(2)/Sim(3) exponential and logarithm maps in JAX.
+
+Replaces the reference's ``cv2.Rodrigues`` round-trips
+(``factor_graph.py:225-284``, ``pose_graph.py:249-488``) with closed-form,
+jittable, batched-friendly Lie maps. All functions are pure, follow the
+input dtype, and are safe at the small-angle singularity via Taylor
+branches selected with ``jnp.where`` (no data-dependent control flow, so
+everything traces under ``jit``/``vmap``/``grad``).
+
+Conventions: rotation vectors are axis*angle (rvec); SE(3) tangent vectors
+are ``[rho(3), phi(3)]`` with translation part first composed as
+``T = [[exp(phi), V(phi) @ rho], [0, 1]]``; Sim(3) tangent adds a log-scale
+7th component (matching the reference's 7-dof parameterisation,
+``factor_graph.py:253-284``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-8
+
+
+def hat(v: jnp.ndarray) -> jnp.ndarray:
+    """Skew-symmetric matrix of a 3-vector (batched over leading dims)."""
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    zero = jnp.zeros_like(x)
+    return jnp.stack(
+        [
+            jnp.stack([zero, -z, y], axis=-1),
+            jnp.stack([z, zero, -x], axis=-1),
+            jnp.stack([-y, x, zero], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def _sinc_coeffs(theta: jnp.ndarray):
+    """(A, B, C) = (sinθ/θ, (1-cosθ)/θ², (θ-sinθ)/θ³) with Taylor fallbacks."""
+    theta2 = theta * theta
+    small = theta < 1e-4
+    safe = jnp.where(small, jnp.ones_like(theta), theta)
+    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(safe) / safe)
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(safe)) / (safe * safe))
+    C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (safe - jnp.sin(safe)) / (safe**3))
+    return A, B, C
+
+
+def so3_exp(rvec: jnp.ndarray) -> jnp.ndarray:
+    """Rodrigues formula: rotation vector → rotation matrix (batched)."""
+    theta = jnp.linalg.norm(rvec, axis=-1, keepdims=False)
+    A, B, _ = _sinc_coeffs(theta)
+    K = hat(rvec)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=rvec.dtype), K.shape)
+    return eye + A[..., None, None] * K + B[..., None, None] * (K @ K)
+
+
+def so3_log(R: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix → rotation vector, stable near 0 and π."""
+    trace = jnp.trace(R, axis1=-2, axis2=-1)
+    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    theta = jnp.arccos(cos_theta)
+    # Generic branch: axis from the antisymmetric part.
+    w = jnp.stack(
+        [
+            R[..., 2, 1] - R[..., 1, 2],
+            R[..., 0, 2] - R[..., 2, 0],
+            R[..., 1, 0] - R[..., 0, 1],
+        ],
+        axis=-1,
+    )
+    sin_theta = jnp.sin(theta)
+    small = theta < 1e-4
+    near_pi = theta > jnp.pi - 1e-3
+    # θ/(2 sinθ) with Taylor for small θ
+    scale_generic = jnp.where(
+        small,
+        0.5 + theta * theta / 12.0,
+        theta / jnp.where(jnp.abs(sin_theta) < _EPS, _EPS, 2.0 * sin_theta),
+    )
+    generic = w * scale_generic[..., None]
+    # Near π: axis from the symmetric part diag(R) = cosθ I + (1-cosθ) aaᵀ.
+    diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
+    aa = jnp.clip((diag - cos_theta[..., None]) / jnp.where(
+        jnp.abs(1.0 - cos_theta[..., None]) < _EPS, _EPS, 1.0 - cos_theta[..., None]
+    ), 0.0, 1.0)
+    axis_mag = jnp.sqrt(aa)
+    # Fix signs using the antisymmetric part (falls back to + when w≈0).
+    sign = jnp.where(w >= 0.0, 1.0, -1.0)
+    pi_branch = sign * axis_mag * theta[..., None]
+    return jnp.where(near_pi[..., None], pi_branch, generic)
+
+
+def _left_jacobian(rvec: jnp.ndarray) -> jnp.ndarray:
+    """SO(3) left Jacobian V(φ) = I + B·K + C·K² (for SE(3) exp)."""
+    theta = jnp.linalg.norm(rvec, axis=-1)
+    _, B, C = _sinc_coeffs(theta)
+    K = hat(rvec)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=rvec.dtype), K.shape)
+    return eye + B[..., None, None] * K + C[..., None, None] * (K @ K)
+
+
+def _left_jacobian_inv(rvec: jnp.ndarray) -> jnp.ndarray:
+    theta = jnp.linalg.norm(rvec, axis=-1)
+    K = hat(rvec)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=rvec.dtype), K.shape)
+    theta2 = theta * theta
+    small = theta < 1e-4
+    safe = jnp.where(small, jnp.ones_like(theta), theta)
+    half = safe * 0.5
+    cot_term = jnp.where(
+        small,
+        1.0 / 12.0 + theta2 / 720.0,
+        (1.0 - half * jnp.cos(half) / jnp.sin(half)) / (safe * safe),
+    )
+    return eye - 0.5 * K + cot_term[..., None, None] * (K @ K)
+
+
+def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
+    """SE(3) tangent [rho, phi] → 4x4 homogeneous transform (batched)."""
+    rho, phi = xi[..., :3], xi[..., 3:6]
+    R = so3_exp(phi)
+    t = (_left_jacobian(phi) @ rho[..., None])[..., 0]
+    return se3_matrix(R, t)
+
+
+def se3_log(T: jnp.ndarray) -> jnp.ndarray:
+    """4x4 transform → SE(3) tangent [rho, phi]."""
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    phi = so3_log(R)
+    rho = (_left_jacobian_inv(phi) @ t[..., None])[..., 0]
+    return jnp.concatenate([rho, phi], axis=-1)
+
+
+def se3_matrix(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Assemble 4x4 transforms from rotations and translations (batched)."""
+    batch = jnp.broadcast_shapes(R.shape[:-2], t.shape[:-1])
+    R = jnp.broadcast_to(R, batch + (3, 3))
+    t = jnp.broadcast_to(t, batch + (3,))
+    top = jnp.concatenate([R, t[..., None]], axis=-1)
+    bottom = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 0.0, 1.0], dtype=R.dtype), batch + (1, 4)
+    )
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def se3_inverse(T: jnp.ndarray) -> jnp.ndarray:
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    Rt = jnp.swapaxes(R, -1, -2)
+    return se3_matrix(Rt, -(Rt @ t[..., None])[..., 0])
+
+
+def se3_relative(T_i: jnp.ndarray, T_j: jnp.ndarray) -> jnp.ndarray:
+    """inv(T_i) @ T_j — the between-factor measurement model."""
+    return se3_inverse(T_i) @ T_j
+
+
+# ---------------------------------------------------------------------------
+# SE(2)
+# ---------------------------------------------------------------------------
+
+
+def se2_matrix(params: jnp.ndarray) -> jnp.ndarray:
+    """[x, y, theta] → 3x3 homogeneous transform (batched)."""
+    x, y, th = params[..., 0], params[..., 1], params[..., 2]
+    c, s = jnp.cos(th), jnp.sin(th)
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    return jnp.stack(
+        [
+            jnp.stack([c, -s, x], axis=-1),
+            jnp.stack([s, c, y], axis=-1),
+            jnp.stack([zero, zero, one], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def se2_params(T: jnp.ndarray) -> jnp.ndarray:
+    """3x3 transform → [x, y, theta]."""
+    return jnp.stack(
+        [T[..., 0, 2], T[..., 1, 2], jnp.arctan2(T[..., 1, 0], T[..., 0, 0])],
+        axis=-1,
+    )
+
+
+def wrap_angle(theta: jnp.ndarray) -> jnp.ndarray:
+    """Wrap to (-pi, pi]."""
+    return jnp.arctan2(jnp.sin(theta), jnp.cos(theta))
+
+
+# ---------------------------------------------------------------------------
+# Sim(3) — 7-dof [rho, phi, log_scale]
+# ---------------------------------------------------------------------------
+
+
+def sim3_matrix(params: jnp.ndarray) -> jnp.ndarray:
+    """[t(3), rvec(3), log_s] → 4x4 similarity transform [[sR, t],[0,1]]."""
+    t, rvec, log_s = params[..., :3], params[..., 3:6], params[..., 6]
+    R = so3_exp(rvec)
+    sR = jnp.exp(log_s)[..., None, None] * R
+    return se3_matrix(sR, t)
+
+
+def sim3_params(S: jnp.ndarray) -> jnp.ndarray:
+    """4x4 similarity → [t, rvec, log_s] (scale from row norms)."""
+    A = S[..., :3, :3]
+    scale = jnp.exp(jnp.log(jnp.linalg.det(A)) / 3.0)
+    R = A / scale[..., None, None]
+    return jnp.concatenate(
+        [S[..., :3, 3], so3_log(R), jnp.log(scale)[..., None]], axis=-1
+    )
+
+
+def sim3_inverse(S: jnp.ndarray) -> jnp.ndarray:
+    A = S[..., :3, :3]
+    t = S[..., :3, 3]
+    A_inv = jnp.linalg.inv(A)
+    return se3_matrix(A_inv, -(A_inv @ t[..., None])[..., 0])
+
+
+def rotation_angle_deg(R: jnp.ndarray) -> jnp.ndarray:
+    """Geodesic rotation angle of R in degrees (batched)."""
+    trace = jnp.trace(R, axis1=-2, axis2=-1)
+    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    return jnp.degrees(jnp.arccos(cos_theta))

@@ -1,0 +1,22 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX loads.
+
+Tests validate multi-chip sharding logic without TPU hardware, per the
+framework's parallel design (mesh over frames / RANSAC hypotheses).
+"""
+
+import os
+import sys
+from pathlib import Path
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax  # noqa: E402
+
+# The axon TPU plugin registers itself regardless of JAX_PLATFORMS; the
+# config flag is authoritative, so set it too.
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])

@@ -1,0 +1,221 @@
+"""Core determinism / integrity / persistence tests (reference test parity:
+tests/test_deterministic_integrity.py, tests/test_determinism_artifacts.py)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from mvslam_tpu.core.determinism import DeterminismRegistry, build_registry, hash_config_path
+from mvslam_tpu.core.integrity import stable_hash, stable_event_digest
+from mvslam_tpu.core.experiments import create_run_artifacts, write_resolved_config
+from mvslam_tpu.core.persistence import (
+    P2Quantile,
+    RunDataStore,
+    StreamingMoments,
+    TrajectoryAccumulator,
+    iter_json_array_items,
+    sanitize_artifact_name,
+    summarize_frame_diagnostics_streaming,
+    summarize_trajectory,
+)
+from mvslam_tpu.core.telemetry import (
+    RunTelemetryRecorder,
+    TelemetryCorrelationRegistry,
+    timed_event,
+)
+
+
+class TestDeterminism:
+    def test_seed_for_is_stable_and_distinct(self):
+        reg = DeterminismRegistry(seed=42)
+        a = reg.seed_for("feature")
+        assert a == DeterminismRegistry(seed=42).seed_for("feature")
+        assert a != reg.seed_for("pose")
+        assert a != DeterminismRegistry(seed=43).seed_for("feature")
+
+    def test_apply_global_seed_reproduces_numpy(self):
+        reg = DeterminismRegistry(seed=7)
+        reg.apply_global_seed()
+        first = np.random.rand(4)
+        reg.apply_global_seed()
+        assert np.allclose(first, np.random.rand(4))
+
+    def test_key_for_deterministic(self):
+        import jax
+
+        reg = DeterminismRegistry(seed=5)
+        k1 = jax.random.uniform(reg.key_for("ransac"), (3,))
+        k2 = jax.random.uniform(reg.key_for("ransac"), (3,))
+        assert np.allclose(k1, k2)
+
+    def test_build_registry_hashes_config(self, tmp_path):
+        cfg = tmp_path / "c.json"
+        cfg.write_text("{}")
+        reg = build_registry(3, cfg)
+        assert reg.config_hash == hash_config_path(cfg)
+        assert len(reg.config_hash) == 64
+        assert build_registry(3, None).config_hash == ""
+
+
+class TestStableHash:
+    def test_dict_order_independent(self):
+        assert stable_hash({"a": 1, "b": 2}) == stable_hash({"b": 2, "a": 1})
+
+    def test_ndarray_and_jax_array(self):
+        import jax.numpy as jnp
+
+        arr = np.arange(6, dtype=np.float32).reshape(2, 3)
+        assert stable_hash(arr) == stable_hash(jnp.asarray(arr))
+        assert stable_hash(arr) != stable_hash(arr.astype(np.float64))
+
+    def test_exclude_keys(self):
+        a = {"x": 1, "timestamp_s": 10.0}
+        b = {"x": 1, "timestamp_s": 99.0}
+        assert stable_hash(a, exclude_keys=["timestamp_s"]) == stable_hash(b, exclude_keys=["timestamp_s"])
+        assert stable_hash(a) != stable_hash(b)
+
+    def test_event_digest_excludes_timestamps(self):
+        ev1 = [{"type": "t", "timestamp_s": 1.0, "v": 3}]
+        ev2 = [{"type": "t", "timestamp_s": 2.0, "v": 3}]
+        assert stable_event_digest(ev1) == stable_event_digest(ev2)
+
+    def test_nan_inf_stable(self):
+        assert stable_hash(float("nan")) == stable_hash(float("nan"))
+        assert stable_hash(float("inf")) != stable_hash(float("-inf"))
+
+
+class TestExperiments:
+    def test_create_run_artifacts(self, tmp_path):
+        arts = create_run_artifacts(tmp_path, "my run/01", metadata={"seed": 1})
+        assert arts.run_dir.exists()
+        meta = json.loads(arts.metadata_path.read_text())
+        assert meta["seed"] == 1
+        assert meta["run_id"] == "my_run_01"
+        p = write_resolved_config(arts.run_dir, {"a": 1})
+        assert json.loads(p.read_text()) == {"a": 1}
+
+    def test_collision_suffix(self, tmp_path):
+        a = create_run_artifacts(tmp_path, "r", timestamp=0.0)
+        b = create_run_artifacts(tmp_path, "r", timestamp=0.0)
+        assert a.run_dir != b.run_dir
+
+
+class TestP2Quantile:
+    def test_matches_numpy_quantile(self):
+        rng = np.random.default_rng(0)
+        data = rng.normal(10.0, 3.0, size=5000)
+        est = P2Quantile(0.95)
+        for v in data:
+            est.update(v)
+        assert abs(est.value() - np.quantile(data, 0.95)) < 0.3
+
+    def test_small_sample_interpolation(self):
+        est = P2Quantile(0.5)
+        for v in [1.0, 2.0, 3.0]:
+            est.update(v)
+        assert est.value() == pytest.approx(2.0)
+
+    def test_moments_summary(self):
+        m = StreamingMoments()
+        for v in range(100):
+            m.update(float(v))
+        s = m.summary()
+        assert s["count"] == 100
+        assert s["mean"] == pytest.approx(49.5)
+        assert s["min"] == 0.0 and s["max"] == 99.0
+
+
+class TestStreamingJson:
+    def test_iter_json_array(self, tmp_path):
+        path = tmp_path / "a.json"
+        items = [{"i": i} for i in range(50)]
+        path.write_text(json.dumps(items))
+        assert list(iter_json_array_items(path, chunk_size=16)) == items
+
+    def test_empty_array(self, tmp_path):
+        path = tmp_path / "a.json"
+        path.write_text("[]")
+        assert list(iter_json_array_items(path)) == []
+
+
+class TestRunDataStore:
+    def test_trajectory_roundtrip_with_determinism(self, tmp_path):
+        store = RunDataStore(tmp_path / "run", determinism={"seed": 9, "config_hash": "abc"})
+        acc = TrajectoryAccumulator()
+        for i in range(3):
+            pose = np.eye(4)
+            pose[0, 3] = i
+            acc.append(i, 0.1 * i, pose)
+        store.save_trajectory("est", acc)
+        loaded = store.load_trajectory("est")
+        assert loaded["poses"].shape == (3, 4, 4)
+        assert loaded["determinism"] == {"seed": 9, "config_hash": "abc"}
+        assert list(loaded["frame_ids"]) == [0, 1, 2]
+
+    def test_metrics_and_reports(self, tmp_path):
+        store = RunDataStore(tmp_path / "run", determinism={"seed": 1})
+        store.save_metrics("m", {"ate": 0.5})
+        assert store.load_metrics("m")["metrics"]["ate"] == 0.5
+        store.save_report("r", {"status": "pass"})
+        assert store.load_report("r")["status"] == "pass"
+
+    def test_diagnostics_streaming_summary(self, tmp_path):
+        store = RunDataStore(tmp_path / "run")
+        records = [
+            {"frame_id": i, "pose_success": i != 2, "is_keyframe": i % 2 == 0,
+             "num_matches": 100 + i, "inlier_ratio": 0.8}
+            for i in range(5)
+        ]
+        path = store.save_frame_diagnostics("frames", records)
+        summary = summarize_frame_diagnostics_streaming(path)
+        assert summary["frames"] == 5
+        assert summary["pose_failures"] == 1
+        assert summary["keyframes"] == 3
+        assert summary["metrics"]["num_matches"]["count"] == 5
+
+    def test_summarize_trajectory(self):
+        poses = np.stack([np.eye(4)] * 3)
+        poses[1, 0, 3] = 1.0
+        poses[2, 0, 3] = 2.0
+        s = summarize_trajectory(poses)
+        assert s["total_distance"] == pytest.approx(2.0)
+        assert s["max_step"] == pytest.approx(1.0)
+
+    def test_sanitize(self):
+        assert sanitize_artifact_name("a/b c") == "a_b_c"
+
+
+class TestTelemetry:
+    def test_timed_event_records(self):
+        rec = RunTelemetryRecorder()
+        with timed_event(rec, "stage", metadata={"k": 1}) as meta:
+            meta["extra"] = 2
+        events = rec.events()
+        assert len(events) == 1
+        assert events[0].name == "stage"
+        assert events[0].metadata["success"] is True
+        assert events[0].metadata["extra"] == 2
+        assert events[0].duration_s >= 0
+
+    def test_timed_event_captures_error(self):
+        rec = RunTelemetryRecorder()
+        with pytest.raises(ValueError):
+            with timed_event(rec, "bad"):
+                raise ValueError("boom")
+        ev = rec.events()[0]
+        assert ev.metadata["success"] is False
+        assert "ValueError" in ev.metadata["error"]
+
+    def test_correlation_ids_deterministic(self):
+        a = TelemetryCorrelationRegistry(1, "h", "run")
+        b = TelemetryCorrelationRegistry(1, "h", "run")
+        assert a.correlation_id("feature") == b.correlation_id("feature")
+        assert a.correlation_id("feature") != a.correlation_id("pose")
+
+    def test_flush_roundtrip(self, tmp_path):
+        rec = RunTelemetryRecorder()
+        rec.record("a", 0.1)
+        path = rec.flush_to_json(tmp_path / "t.json")
+        data = json.loads(path.read_text())
+        assert data[0]["name"] == "a"
