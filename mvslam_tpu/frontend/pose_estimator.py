@@ -1,0 +1,277 @@
+"""Robust dual-model relative pose estimation with stability gates.
+
+Parity with the reference's ``robust_pose_estimator.py``: estimates BOTH an
+essential-matrix candidate and a homography candidate, scores each as
+``bias × inlier_ratio × max(median_parallax, min_parallax)``
+(ref L168-172, L204-207), selects the winner, computes a cheirality ratio
+by triangulation (ref L269-296), and raises
+:class:`PoseEstimationFailure` with ``recovery_action="relocalize"`` when
+stability gates trip (ref L226-251). Translation is unit-normalised
+(ref L299-305).
+
+TPU-first architecture: the *entire* dual-model estimation — two RANSAC
+hypothesis batches, both decompositions, parallax and cheirality
+statistics — is ONE jitted device program (:func:`estimate_pose_device`).
+The host wrapper transfers back a handful of scalars, applies the gates,
+and owns the failure-path control flow (dynamic decisions stay off-device
+per the design stance in SURVEY §7).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvslam_tpu.geometry.epipolar import (
+    decompose_essential,
+    decompose_homography,
+    triangulate_normalized,
+)
+from mvslam_tpu.geometry.projection import normalize_pixels
+from mvslam_tpu.ops.ransac import (
+    RansacConfig,
+    adaptive_ransac_threshold,
+    ransac_essential,
+    ransac_homography,
+)
+
+
+@dataclass(frozen=True)
+class RobustPoseEstimatorConfig:
+    """Parity: ``robust_pose_estimator.py:42-70``."""
+
+    num_hypotheses: int = 512
+    essential_threshold_px: float = 1.5
+    homography_threshold_px: float = 3.0
+    adaptive_threshold: bool = True
+    min_matches: int = 12
+    min_inliers: int = 15
+    min_inlier_ratio: float = 0.25
+    min_parallax_deg: float = 0.15
+    min_cheirality_ratio: float = 0.55
+    min_displacement_px: float = 0.75  # median inlier flow below this = stationary
+    essential_bias: float = 1.0
+    homography_bias: float = 0.85
+    refit_rounds: int = 2
+
+    def __post_init__(self):
+        if self.min_inliers < 8:
+            raise ValueError("min_inliers must be >= 8")
+        if not 0.0 <= self.min_inlier_ratio <= 1.0:
+            raise ValueError("min_inlier_ratio must be in [0, 1]")
+
+
+class PoseEstimationFailure(Exception):
+    """Tracking-loss signal consumed by the relocalization path.
+
+    Parity: ``robust_pose_estimator.py:226-251``.
+    """
+
+    def __init__(self, reason: str, metrics: Optional[Dict] = None, recovery_action: str = "relocalize"):
+        super().__init__(reason)
+        self.reason = reason
+        self.recovery_action = recovery_action
+        self.metrics = dict(metrics or {})
+
+
+@dataclass(frozen=True)
+class PoseEstimate:
+    """Host-side result of a successful estimation."""
+
+    rotation: np.ndarray  # (3, 3)
+    translation: np.ndarray  # (3,) unit norm
+    model_type: str  # "essential" | "homography"
+    num_inliers: int
+    inlier_ratio: float
+    median_parallax_deg: float
+    cheirality_ratio: float
+    score: float
+    inlier_mask: np.ndarray = field(repr=False, default=None)
+
+
+class DevicePoseResult(NamedTuple):
+    """Raw device outputs of the fused dual-model program."""
+
+    rotation: jnp.ndarray  # (3, 3)
+    translation: jnp.ndarray  # (3,) unit
+    use_essential: jnp.ndarray  # () bool
+    num_inliers: jnp.ndarray  # () int32
+    inlier_ratio: jnp.ndarray  # () float32
+    median_parallax_deg: jnp.ndarray  # () float32
+    cheirality_ratio: jnp.ndarray  # () float32
+    score: jnp.ndarray  # () float32
+    essential_score: jnp.ndarray
+    homography_score: jnp.ndarray
+    inliers: jnp.ndarray  # (N,) bool
+    num_valid_matches: jnp.ndarray  # () int32
+    median_displacement_px: jnp.ndarray  # () float32 — zero-motion detector
+
+
+def _parallax_and_cheirality(R, t, pts1, pts2, inliers):
+    """Median parallax angle (deg) + positive-depth ratio over inliers."""
+    X = triangulate_normalized(R, t, pts1, pts2)  # (N, 3) in cam1
+    z1 = X[..., 2]
+    cam2 = X @ R.T + t
+    z2 = cam2[..., 2]
+    w = inliers.astype(X.dtype)
+    cheirality = jnp.sum(((z1 > 1e-6) & (z2 > 1e-6)).astype(X.dtype) * w) / jnp.maximum(jnp.sum(w), 1.0)
+    # Parallax: angle between the two viewing rays of each point.
+    c2 = -R.T @ t  # camera-2 centre in cam1 frame
+    r1 = X
+    r2 = X - c2
+    dot = jnp.sum(r1 * r2, axis=-1)
+    norms = jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2, axis=-1)
+    cosang = jnp.clip(dot / jnp.where(norms < 1e-12, 1e-12, norms), -1.0, 1.0)
+    ang = jnp.degrees(jnp.arccos(cosang))
+    ang = jnp.where(inliers, ang, jnp.nan)
+    median = jnp.nanmedian(ang)
+    median = jnp.where(jnp.isnan(median), 0.0, median)
+    return median, cheirality
+
+
+@partial(jax.jit, static_argnames=("config",))
+def estimate_pose_device(
+    key,
+    pts1_px: jnp.ndarray,
+    pts2_px: jnp.ndarray,
+    mask: jnp.ndarray,
+    K: jnp.ndarray,
+    config: RobustPoseEstimatorConfig = RobustPoseEstimatorConfig(),
+) -> DevicePoseResult:
+    """Fused dual-model pose estimation: one device program per frame pair."""
+    fx = K[0, 0]
+    n1 = normalize_pixels(pts1_px, K)
+    n2 = normalize_pixels(pts2_px, K)
+
+    e_thresh_px = jnp.asarray(config.essential_threshold_px, jnp.float32)
+    h_thresh = jnp.asarray(config.homography_threshold_px, jnp.float32)
+    if config.adaptive_threshold:
+        e_thresh_px = adaptive_ransac_threshold(config.essential_threshold_px, pts1_px, pts2_px, mask)
+        h_thresh = adaptive_ransac_threshold(config.homography_threshold_px, pts1_px, pts2_px, mask)
+
+    key_e, key_h = jax.random.split(key)
+    ransac_cfg = RansacConfig(
+        num_hypotheses=config.num_hypotheses,
+        min_inliers=config.min_inliers,
+        refit_rounds=config.refit_rounds,
+    )
+    # Both models are fit in well-conditioned *normalised* coordinates;
+    # pixel thresholds convert by 1/fx. Thresholds stay traced values so
+    # the adaptive scaling never recompiles.
+    res_e = ransac_essential(key_e, n1, n2, mask, ransac_cfg, threshold=e_thresh_px / fx)
+    res_h = ransac_homography(key_h, n1, n2, mask, ransac_cfg, threshold=h_thresh / fx)
+
+    w_e = res_e.inliers.astype(jnp.float32)
+    R_e, t_e, _ = decompose_essential(res_e.model, n1, n2, weights=w_e)
+    par_e, che_e = _parallax_and_cheirality(R_e, t_e, n1, n2, res_e.inliers)
+
+    R_h, t_h, _ = decompose_homography(res_h.model, n1, n2)
+    par_h, che_h = _parallax_and_cheirality(R_h, t_h, n1, n2, res_h.inliers)
+
+    min_par = jnp.asarray(config.min_parallax_deg, jnp.float32)
+    score_e = jnp.where(
+        res_e.success,
+        config.essential_bias * res_e.inlier_ratio * jnp.maximum(par_e, min_par),
+        0.0,
+    )
+    score_h = jnp.where(
+        res_h.success,
+        config.homography_bias * res_h.inlier_ratio * jnp.maximum(par_h, min_par),
+        0.0,
+    )
+    use_e = score_e >= score_h
+
+    R = jnp.where(use_e, R_e, R_h)
+    t = jnp.where(use_e, t_e, t_h)
+    t = t / jnp.maximum(jnp.linalg.norm(t), 1e-12)
+
+    disp = jnp.linalg.norm(pts2_px - pts1_px, axis=-1)
+    disp = jnp.where(mask, disp, jnp.nan)
+    median_disp = jnp.nanmedian(disp)
+    median_disp = jnp.where(jnp.isnan(median_disp), 0.0, median_disp)
+    return DevicePoseResult(
+        rotation=R,
+        translation=t,
+        use_essential=use_e,
+        num_inliers=jnp.where(use_e, res_e.num_inliers, res_h.num_inliers),
+        inlier_ratio=jnp.where(use_e, res_e.inlier_ratio, res_h.inlier_ratio),
+        median_parallax_deg=jnp.where(use_e, par_e, par_h),
+        cheirality_ratio=jnp.where(use_e, che_e, che_h),
+        score=jnp.maximum(score_e, score_h),
+        essential_score=score_e,
+        homography_score=score_h,
+        inliers=jnp.where(use_e, res_e.inliers, res_h.inliers),
+        num_valid_matches=jnp.sum(mask).astype(jnp.int32),
+        median_displacement_px=median_disp.astype(jnp.float32),
+    )
+
+
+class RobustPoseEstimator:
+    """Host facade applying stability gates to the fused device program.
+
+    Parity: ``robust_pose_estimator.py:89-134`` (estimate_pose) and
+    L226-251 (gates).
+    """
+
+    def __init__(self, config: Optional[RobustPoseEstimatorConfig] = None) -> None:
+        self.config = config or RobustPoseEstimatorConfig()
+
+    def estimate_pose(
+        self,
+        pts1_px,
+        pts2_px,
+        mask,
+        K,
+        key,
+    ) -> PoseEstimate:
+        cfg = self.config
+        pts1_px = jnp.asarray(pts1_px, jnp.float32)
+        pts2_px = jnp.asarray(pts2_px, jnp.float32)
+        mask = jnp.asarray(mask)
+        num_matches = int(jnp.sum(mask))
+        if num_matches < cfg.min_matches:
+            raise PoseEstimationFailure(
+                "insufficient_matches",
+                metrics={"num_matches": num_matches, "min_matches": cfg.min_matches},
+            )
+        dev = estimate_pose_device(key, pts1_px, pts2_px, mask, jnp.asarray(K, jnp.float32), cfg)
+        metrics = {
+            "num_matches": num_matches,
+            "num_inliers": int(dev.num_inliers),
+            "inlier_ratio": float(dev.inlier_ratio),
+            "median_parallax_deg": float(dev.median_parallax_deg),
+            "cheirality_ratio": float(dev.cheirality_ratio),
+            "score": float(dev.score),
+            "essential_score": float(dev.essential_score),
+            "homography_score": float(dev.homography_score),
+            "model_type": "essential" if bool(dev.use_essential) else "homography",
+            "median_displacement_px": float(dev.median_displacement_px),
+        }
+        if metrics["median_displacement_px"] < cfg.min_displacement_px:
+            raise PoseEstimationFailure("insufficient_motion", metrics=metrics)
+        if float(dev.score) <= 0.0:
+            raise PoseEstimationFailure("no_valid_model", metrics=metrics)
+        if metrics["num_inliers"] < cfg.min_inliers:
+            raise PoseEstimationFailure("low_inliers", metrics=metrics)
+        if metrics["inlier_ratio"] < cfg.min_inlier_ratio:
+            raise PoseEstimationFailure("low_inlier_ratio", metrics=metrics)
+        if metrics["median_parallax_deg"] < cfg.min_parallax_deg:
+            raise PoseEstimationFailure("low_parallax", metrics=metrics)
+        if metrics["cheirality_ratio"] < cfg.min_cheirality_ratio:
+            raise PoseEstimationFailure("low_cheirality", metrics=metrics)
+        return PoseEstimate(
+            rotation=np.asarray(dev.rotation),
+            translation=np.asarray(dev.translation),
+            model_type=metrics["model_type"],
+            num_inliers=metrics["num_inliers"],
+            inlier_ratio=metrics["inlier_ratio"],
+            median_parallax_deg=metrics["median_parallax_deg"],
+            cheirality_ratio=metrics["cheirality_ratio"],
+            score=metrics["score"],
+            inlier_mask=np.asarray(dev.inliers),
+        )

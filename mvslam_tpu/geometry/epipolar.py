@@ -37,16 +37,22 @@ def _smallest_singular_vector(A: jnp.ndarray) -> jnp.ndarray:
     return V[..., :, 0]
 
 
-def eight_point_essential(pts1: jnp.ndarray, pts2: jnp.ndarray) -> jnp.ndarray:
+def eight_point_essential(
+    pts1: jnp.ndarray, pts2: jnp.ndarray, weights: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """Essential matrix from ≥8 normalised correspondences (batched).
 
-    pts1, pts2: (..., N, 2) with N ≥ 8. Returns (..., 3, 3) with the
-    rank-2 constraint (singular values 1, 1, 0) enforced.
+    pts1, pts2: (..., N, 2) with N ≥ 8. Optional ``weights`` (..., N) scale
+    each constraint row — pass an inlier mask to refit on inliers without
+    dynamic shapes. Returns (..., 3, 3) with the rank-2 constraint
+    (singular values 1, 1, 0) enforced.
     """
     x1 = _homogeneous(pts1)
     x2 = _homogeneous(pts2)
     # Row per correspondence: kron(x2, x1) so that x2ᵀ E x1 = 0.
     A = (x2[..., :, :, None] * x1[..., :, None, :]).reshape(*x1.shape[:-1], 9)
+    if weights is not None:
+        A = A * weights[..., None]
     e = _smallest_singular_vector(A)
     E = e.reshape(*e.shape[:-1], 3, 3)
     U, _, Vt = jnp.linalg.svd(E)
@@ -69,7 +75,10 @@ def sampson_error(E: jnp.ndarray, pts1: jnp.ndarray, pts2: jnp.ndarray) -> jnp.n
 
 
 def decompose_essential(
-    E: jnp.ndarray, pts1: jnp.ndarray, pts2: jnp.ndarray
+    E: jnp.ndarray,
+    pts1: jnp.ndarray,
+    pts2: jnp.ndarray,
+    weights: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Recover (R, t) from E by cheirality voting over the 4 candidates.
 
@@ -109,7 +118,10 @@ def decompose_essential(
 
     def count_cheirality(R, t_vec):
         z1, z2 = depths(R, t_vec)
-        return jnp.sum((z1 > 1e-6) & (z2 > 1e-6))
+        good = ((z1 > 1e-6) & (z2 > 1e-6)).astype(E.dtype)
+        if weights is not None:
+            good = good * weights
+        return jnp.sum(good)
 
     counts = jnp.stack([count_cheirality(Rs[i], ts[i]) for i in range(4)])
     best = jnp.argmax(counts)
@@ -146,20 +158,26 @@ def triangulate_normalized(
 # ---------------------------------------------------------------------------
 
 
-def dlt_homography(pts1: jnp.ndarray, pts2: jnp.ndarray) -> jnp.ndarray:
+def dlt_homography(
+    pts1: jnp.ndarray, pts2: jnp.ndarray, weights: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """Hartley-normalised DLT homography from ≥4 correspondences (batched).
 
-    pts1, pts2: (..., N, 2), N ≥ 4. Returns (..., 3, 3) with H[2,2] = 1.
-    Parity: ``homography.py:118-142``.
+    pts1, pts2: (..., N, 2), N ≥ 4. Optional ``weights`` (..., N) scale the
+    constraint rows (masked inlier refit). Returns (..., 3, 3) with
+    H[2,2] = 1. Parity: ``homography.py:118-142``.
     """
-    n1, T1 = hartley_normalization(pts1)
-    n2, T2 = hartley_normalization(pts2)
+    n1, T1 = hartley_normalization(pts1, weights)
+    n2, T2 = hartley_normalization(pts2, weights)
     x, y = n1[..., 0], n1[..., 1]
     u, v = n2[..., 0], n2[..., 1]
     zero = jnp.zeros_like(x)
     one = jnp.ones_like(x)
     row1 = jnp.stack([-x, -y, -one, zero, zero, zero, u * x, u * y, u], axis=-1)
     row2 = jnp.stack([zero, zero, zero, -x, -y, -one, v * x, v * y, v], axis=-1)
+    if weights is not None:
+        row1 = row1 * weights[..., None]
+        row2 = row2 * weights[..., None]
     A = jnp.concatenate([row1, row2], axis=-2)
     h = _smallest_singular_vector(A)
     Hn = h.reshape(*h.shape[:-1], 3, 3)

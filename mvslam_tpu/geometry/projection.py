@@ -118,15 +118,26 @@ def normalize_pixels(pts: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([x, y], axis=-1)
 
 
-def hartley_normalization(pts: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def hartley_normalization(
+    pts: jnp.ndarray, weights: jnp.ndarray | None = None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Hartley point normalisation: zero-mean, mean distance √2.
 
     Returns (normalised points, 3x3 conditioning transform T) with
-    ``x_norm = T @ x``. Parity: ``homography.py:118-142`` preconditioning.
+    ``x_norm = T @ x``. Optional ``weights`` (..., N) make the statistics
+    weighted (used for masked inlier refits under jit). Parity:
+    ``homography.py:118-142`` preconditioning.
     """
-    mean = jnp.mean(pts, axis=-2, keepdims=True)
-    centered = pts - mean
-    mean_dist = jnp.mean(jnp.linalg.norm(centered, axis=-1), axis=-1)
+    if weights is None:
+        mean = jnp.mean(pts, axis=-2, keepdims=True)
+        centered = pts - mean
+        mean_dist = jnp.mean(jnp.linalg.norm(centered, axis=-1), axis=-1)
+    else:
+        wsum = jnp.sum(weights, axis=-1, keepdims=True)
+        wsum = jnp.where(wsum < 1e-12, 1e-12, wsum)
+        mean = jnp.sum(pts * weights[..., None], axis=-2, keepdims=True) / wsum[..., None]
+        centered = pts - mean
+        mean_dist = jnp.sum(jnp.linalg.norm(centered, axis=-1) * weights, axis=-1) / wsum[..., 0]
     scale = jnp.sqrt(jnp.asarray(2.0, dtype=pts.dtype)) / jnp.where(mean_dist < 1e-12, 1e-12, mean_dist)
     T = jnp.stack(
         [

@@ -1,0 +1,168 @@
+"""FAST-9/16 corner detection as a fixed-shape, fully-vectorised TPU op.
+
+Replaces the cv2.ORB_create detection stage used by the reference
+(``feature_pipeline.py.bak:64-77``). Instead of a per-keypoint dynamic
+list, detection is formulated as dense per-pixel work over the whole frame
+(VPU-friendly: 16 shifted comparisons + windowed arc test), 3x3
+non-maximum suppression via max-pooling, and a static **top-K selection**
+(optionally per-grid-cell for spatial spread) yielding a padded
+``(N, 2)`` keypoint array with a validity mask — the static-shape contract
+every downstream kernel (BRIEF, matcher, RANSAC) relies on.
+
+Scores use the standard SAD-above-threshold corner response
+(sum of |p_i - c| - t over contributing arc pixels), the same ranking used
+by GPU FAST implementations.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# FAST circle of radius 3: 16 (dy, dx) offsets, clockwise from 12 o'clock.
+_CIRCLE = np.asarray(
+    [
+        (-3, 0), (-3, 1), (-2, 2), (-1, 3),
+        (0, 3), (1, 3), (2, 2), (3, 1),
+        (3, 0), (3, -1), (2, -2), (1, -3),
+        (0, -3), (-1, -3), (-2, -2), (-3, -1),
+    ],
+    dtype=np.int32,
+)
+
+_ARC_LENGTH = 9  # FAST-9
+
+
+@dataclass(frozen=True)
+class FastConfig:
+    threshold: float = 20.0
+    nms_radius: int = 1  # 3x3 NMS window
+    border_margin: int = 19  # keep clear of the 31px BRIEF patch + blur
+    grid_cells: int = 0  # 0 = global top-K; else GxG cell-balanced selection
+
+
+def _circle_stack(image: jnp.ndarray) -> jnp.ndarray:
+    """(16, H, W) stack of the image shifted so index i holds circle pixel i."""
+    shifted = [jnp.roll(image, shift=(-int(dy), -int(dx)), axis=(-2, -1)) for dy, dx in _CIRCLE]
+    return jnp.stack(shifted, axis=0)
+
+
+def fast_score_map(image: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """Dense FAST-9 corner response over an (H, W) image.
+
+    Returns (H, W) float32 scores; 0 where the arc test fails.
+    """
+    image = image.astype(jnp.float32)
+    circle = _circle_stack(image)  # (16, H, W)
+    diff = circle - image[None]
+    brighter = diff > threshold
+    darker = diff < -threshold
+
+    def has_arc(mask: jnp.ndarray) -> jnp.ndarray:
+        # Circular windowed AND: any run of _ARC_LENGTH consecutive Trues.
+        wrapped = jnp.concatenate([mask, mask[: _ARC_LENGTH - 1]], axis=0).astype(jnp.float32)
+        # cumulative-sum window trick: run of k ⇔ windowed sum == k
+        csum = jnp.cumsum(wrapped, axis=0)
+        padded = jnp.concatenate([jnp.zeros_like(csum[:1]), csum], axis=0)
+        window = padded[_ARC_LENGTH:] - padded[:-_ARC_LENGTH]
+        return jnp.any(window >= _ARC_LENGTH - 0.5, axis=0)
+
+    is_bright_corner = has_arc(brighter)
+    is_dark_corner = has_arc(darker)
+    is_corner = is_bright_corner | is_dark_corner
+
+    excess = jnp.abs(diff) - threshold
+    bright_score = jnp.sum(jnp.where(brighter, excess, 0.0), axis=0)
+    dark_score = jnp.sum(jnp.where(darker, excess, 0.0), axis=0)
+    score = jnp.maximum(
+        jnp.where(is_bright_corner, bright_score, 0.0),
+        jnp.where(is_dark_corner, dark_score, 0.0),
+    )
+    return jnp.where(is_corner, score, 0.0)
+
+
+def _nms(score: jnp.ndarray, radius: int) -> jnp.ndarray:
+    window = 2 * radius + 1
+    pooled = jax.lax.reduce_window(
+        score,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(window, window),
+        window_strides=(1, 1),
+        padding="SAME",
+    )
+    return jnp.where(score >= pooled, score, 0.0)
+
+
+def _mask_border(score: jnp.ndarray, margin: int) -> jnp.ndarray:
+    h, w = score.shape
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    keep = (ys >= margin) & (ys < h - margin) & (xs >= margin) & (xs < w - margin)
+    return jnp.where(keep, score, 0.0)
+
+
+def _grid_topk(score: jnp.ndarray, num_keypoints: int, cells: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cell-balanced candidate selection: top-(k/cell) per cell, then a
+    global top-K over the union. Keeps features spread across the frame
+    (the role of cv2 ORB's quadtree distribution)."""
+    h, w = score.shape
+    ch = -(-h // cells)
+    cw = -(-w // cells)
+    padded = jnp.pad(score, ((0, ch * cells - h), (0, cw * cells - w)))
+    tiles = padded.reshape(cells, ch, cells, cw).transpose(0, 2, 1, 3).reshape(cells * cells, ch * cw)
+    per_cell = max(1, -(-num_keypoints // (cells * cells)) * 2)
+    per_cell = min(per_cell, ch * cw)
+    cell_scores, cell_idx = jax.lax.top_k(tiles, per_cell)  # (C², per_cell)
+    # Recover global pixel coordinates of each candidate.
+    cell_ids = jax.lax.broadcasted_iota(jnp.int32, cell_scores.shape, 0)
+    cy = cell_ids // cells
+    cx = cell_ids % cells
+    py = cell_idx // cw
+    px = cell_idx % cw
+    ys = cy * ch + py
+    xs = cx * cw + px
+    flat_scores = cell_scores.reshape(-1)
+    flat_lin = (ys * w + xs).reshape(-1)
+    # Out-of-bounds padding cells produce score 0; fine (masked later).
+    top_scores, pick = jax.lax.top_k(flat_scores, min(num_keypoints, flat_scores.shape[0]))
+    lin = flat_lin[pick]
+    return top_scores, lin
+
+
+@partial(jax.jit, static_argnames=("num_keypoints", "config"))
+def detect_keypoints(
+    image: jnp.ndarray,
+    num_keypoints: int = 1024,
+    config: FastConfig = FastConfig(),
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Detect FAST corners with static output shapes.
+
+    Returns ``(xy, scores, valid)``: xy (N, 2) float32 as (x, y) pixel
+    coordinates, scores (N,), valid (N,) bool. Invalid slots hold (0, 0)
+    with score 0. vmap over a leading frame axis for batched detection.
+    """
+    score = fast_score_map(image, config.threshold)
+    score = _nms(score, config.nms_radius)
+    score = _mask_border(score, config.border_margin)
+    h, w = score.shape
+    if config.grid_cells > 1:
+        top_scores, lin = _grid_topk(score, num_keypoints, config.grid_cells)
+        if top_scores.shape[0] < num_keypoints:
+            pad = num_keypoints - top_scores.shape[0]
+            top_scores = jnp.pad(top_scores, (0, pad))
+            lin = jnp.pad(lin, (0, pad))
+    else:
+        flat = score.reshape(-1)
+        top_scores, lin = jax.lax.top_k(flat, num_keypoints)
+    ys = (lin // w).astype(jnp.float32)
+    xs = (lin % w).astype(jnp.float32)
+    valid = top_scores > 0.0
+    xy = jnp.stack([xs, ys], axis=-1)
+    xy = jnp.where(valid[:, None], xy, 0.0)
+    return xy, jnp.where(valid, top_scores, 0.0), valid

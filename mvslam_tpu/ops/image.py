@@ -1,0 +1,99 @@
+"""Image preprocessing ops: grayscale, separable Gaussian blur, pyramids.
+
+All ops are pure jnp over fixed-shape float32 images in [0, 255] (matching
+the uint8 convention of the reference's cv2 pipeline) and batched over a
+leading frame axis when present. XLA fuses these into the detector kernels,
+so they cost one HBM pass.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def rgb_to_gray(frame: jnp.ndarray) -> jnp.ndarray:
+    """BGR/RGB (..., H, W, 3) uint8/float → grayscale (..., H, W) float32.
+
+    Uses ITU-R BT.601 luma weights (same as cv2.cvtColor BGR2GRAY). Accepts
+    RGB order by default; pass BGR frames through ``frame[..., ::-1]``.
+    """
+    frame = frame.astype(jnp.float32)
+    if frame.ndim >= 3 and frame.shape[-1] == 3:
+        w = jnp.asarray([0.299, 0.587, 0.114], dtype=jnp.float32)
+        return frame @ w
+    return frame
+
+
+def _gaussian_kernel(sigma: float, radius: int) -> np.ndarray:
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def gaussian_blur(image: jnp.ndarray, sigma: float = 1.0, radius: int = 2) -> jnp.ndarray:
+    """Separable Gaussian blur over the trailing (H, W) axes (batched).
+
+    Replaces the GaussianBlur cv2 performs inside ORB before BRIEF
+    sampling. ``sigma``/``radius`` are static so the kernel constant-folds.
+    """
+    kernel = jnp.asarray(_gaussian_kernel(sigma, radius))
+    batched = image.ndim == 3
+    img = image if batched else image[None]
+    img = img.astype(jnp.float32)
+
+    pad = radius
+    padded = jnp.pad(img, ((0, 0), (pad, pad), (0, 0)), mode="edge")
+    rows = jax.lax.conv_general_dilated(
+        padded[:, None, :, :],
+        kernel.reshape(1, 1, -1, 1),
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[:, 0]
+    padded = jnp.pad(rows, ((0, 0), (0, 0), (pad, pad)), mode="edge")
+    cols = jax.lax.conv_general_dilated(
+        padded[:, None, :, :],
+        kernel.reshape(1, 1, 1, -1),
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[:, 0]
+    return cols if batched else cols[0]
+
+
+def downsample2(image: jnp.ndarray) -> jnp.ndarray:
+    """2x area downsample of the trailing (H, W) axes (even dims assumed)."""
+    h = (image.shape[-2] // 2) * 2
+    w = (image.shape[-1] // 2) * 2
+    img = image[..., :h, :w]
+    return 0.25 * (
+        img[..., 0::2, 0::2] + img[..., 1::2, 0::2] + img[..., 0::2, 1::2] + img[..., 1::2, 1::2]
+    )
+
+
+def build_pyramid(image: jnp.ndarray, num_levels: int) -> List[jnp.ndarray]:
+    """Half-octave-free simple 2x pyramid (list of arrays, level 0 = full res)."""
+    levels = [image]
+    for _ in range(num_levels - 1):
+        levels.append(downsample2(levels[-1]))
+    return levels
+
+
+def scale_for_level(level: int) -> float:
+    return float(2**level)
+
+
+def pad_to_multiple(image: jnp.ndarray, multiple: int = 128) -> Tuple[jnp.ndarray, Tuple[int, int]]:
+    """Pad trailing (H, W) up to a multiple (TPU lane alignment); returns
+    (padded, original (H, W))."""
+    h, w = image.shape[-2], image.shape[-1]
+    ph = (-h) % multiple
+    pw = (-w) % multiple
+    if ph or pw:
+        pad_spec = [(0, 0)] * (image.ndim - 2) + [(0, ph), (0, pw)]
+        image = jnp.pad(image, pad_spec)
+    return image, (h, w)

@@ -1,0 +1,146 @@
+"""Frontend pipeline + robust pose estimator tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvslam_tpu.frontend.feature_pipeline import (
+    FeaturePipeline,
+    FeaturePipelineConfig,
+    adaptive_ransac_threshold,
+    build_feature_pipeline,
+    matches_to_points,
+)
+from mvslam_tpu.frontend.pose_estimator import (
+    PoseEstimationFailure,
+    RobustPoseEstimator,
+    RobustPoseEstimatorConfig,
+    estimate_pose_device,
+)
+from mvslam_tpu.geometry.lie import so3_exp
+
+
+def textured_image(h=160, w=200, seed=0, n_blobs=60):
+    rng = np.random.default_rng(seed)
+    img = rng.uniform(0, 30, size=(h, w)).astype(np.float32)
+    for _ in range(n_blobs):
+        y = rng.integers(25, h - 30)
+        x = rng.integers(25, w - 30)
+        s = rng.integers(3, 8)
+        img[y : y + s, x : x + s] = rng.uniform(140, 255)
+    return img
+
+
+class TestFeaturePipeline:
+    def test_config_validation(self):
+        with pytest.raises(ValueError):
+            FeaturePipelineConfig(num_features=0)
+        with pytest.raises(ValueError):
+            FeaturePipelineConfig(ratio=1.5)
+        with pytest.raises(ValueError):
+            FeaturePipelineConfig(detector="sift")
+
+    def test_detect_describe_match_end_to_end(self):
+        cfg = FeaturePipelineConfig(num_features=256, max_matches=128)
+        pipe = build_feature_pipeline(cfg)
+        img = textured_image()
+        img2 = np.roll(img, 4, axis=1)
+        f1 = pipe.detect_and_describe(jnp.asarray(img))
+        f2 = pipe.detect_and_describe(jnp.asarray(img2))
+        assert f1.num_valid > 20
+        sel = pipe.match(f1, f2)
+        stats = pipe.match_stats(f1, f2, sel)
+        assert stats.num_matches >= 10
+        p1, p2, m = matches_to_points(f1, f2, sel)
+        m = np.asarray(m)
+        dx = np.asarray(p2)[m, 0] - np.asarray(p1)[m, 0]
+        assert np.median(dx) == pytest.approx(4.0, abs=1.0)
+
+    def test_batched_detection(self):
+        cfg = FeaturePipelineConfig(num_features=128)
+        pipe = FeaturePipeline(cfg)
+        frames = jnp.asarray(np.stack([textured_image(seed=s) for s in range(3)]))
+        feats = pipe.detect_and_describe_batch(frames)
+        assert feats.xy.shape == (3, 128, 2)
+        assert feats.descriptors.shape == (3, 128, 8)
+
+    def test_detection_deterministic(self):
+        pipe = FeaturePipeline(FeaturePipelineConfig(num_features=128))
+        img = jnp.asarray(textured_image(seed=9))
+        f1 = pipe.detect_and_describe(img)
+        f2 = pipe.detect_and_describe(img)
+        assert np.array_equal(np.asarray(f1.xy), np.asarray(f2.xy))
+        assert np.array_equal(np.asarray(f1.descriptors), np.asarray(f2.descriptors))
+
+    def test_adaptive_threshold_host_api(self):
+        p1 = np.zeros((10, 2))
+        p2 = np.tile([3.0, 4.0], (10, 1))  # disp 5 → scale 0.5 (clipped)
+        assert adaptive_ransac_threshold(2.0, p1, p2) == pytest.approx(1.0)
+
+
+def synthetic_pose_problem(n=300, seed=0, outlier_frac=0.15):
+    rng = np.random.default_rng(seed)
+    pts3d = np.stack([rng.uniform(-3, 3, n), rng.uniform(-2, 2, n), rng.uniform(5, 15, n)], 1)
+    R = np.asarray(so3_exp(jnp.asarray([0.02, -0.05, 0.01], dtype=jnp.float32)))
+    t = np.array([0.8, 0.1, 0.2])
+    K = np.array([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]])
+    cam2 = pts3d @ R.T + t
+    uv1 = (pts3d[:, :2] / pts3d[:, 2:]) * [600, 600] + [320, 240]
+    uv2 = (cam2[:, :2] / cam2[:, 2:]) * [600, 600] + [320, 240]
+    uv1 += rng.normal(scale=0.3, size=uv1.shape)
+    uv2 += rng.normal(scale=0.3, size=uv2.shape)
+    n_out = int(n * outlier_frac)
+    out = rng.choice(n, n_out, replace=False)
+    uv2[out] += rng.uniform(25, 70, size=(n_out, 2))
+    return uv1, uv2, R, t, K
+
+
+class TestRobustPoseEstimator:
+    def test_recovers_pose(self):
+        uv1, uv2, R, t, K = synthetic_pose_problem()
+        est = RobustPoseEstimator(RobustPoseEstimatorConfig(num_hypotheses=256))
+        mask = np.ones(len(uv1), bool)
+        result = est.estimate_pose(uv1, uv2, mask, K, jax.random.key(0))
+        assert result.model_type == "essential"
+        assert np.abs(result.rotation - R).max() < 2e-2
+        t_unit = t / np.linalg.norm(t)
+        assert np.abs(result.translation - t_unit).max() < 5e-2
+        assert result.num_inliers > 200
+        assert 0.6 < result.inlier_ratio <= 1.0
+        assert result.cheirality_ratio > 0.9
+
+    def test_insufficient_matches_raises(self):
+        est = RobustPoseEstimator()
+        with pytest.raises(PoseEstimationFailure) as exc:
+            est.estimate_pose(
+                np.zeros((20, 2)), np.zeros((20, 2)), np.zeros(20, bool), np.eye(3), jax.random.key(0)
+            )
+        assert exc.value.reason == "insufficient_matches"
+        assert exc.value.recovery_action == "relocalize"
+
+    def test_degenerate_raises_with_metrics(self):
+        # identical points: no parallax, RANSAC should gate out
+        rng = np.random.default_rng(1)
+        uv = rng.uniform(0, 400, size=(100, 2))
+        est = RobustPoseEstimator(RobustPoseEstimatorConfig(num_hypotheses=64))
+        K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+        with pytest.raises(PoseEstimationFailure) as exc:
+            est.estimate_pose(uv, uv, np.ones(100, bool), K, jax.random.key(0))
+        assert exc.value.reason == "insufficient_motion"
+        assert "num_matches" in exc.value.metrics
+
+    def test_device_program_jits_once(self):
+        uv1, uv2, R, t, K = synthetic_pose_problem(seed=3)
+        cfg = RobustPoseEstimatorConfig(num_hypotheses=128)
+        mask = jnp.ones(len(uv1), bool)
+        dev = estimate_pose_device(
+            jax.random.key(1), jnp.asarray(uv1, jnp.float32), jnp.asarray(uv2, jnp.float32),
+            mask, jnp.asarray(K, jnp.float32), cfg,
+        )
+        assert dev.rotation.shape == (3, 3)
+        assert bool(dev.use_essential)
+
+    def test_config_validation(self):
+        with pytest.raises(ValueError):
+            RobustPoseEstimatorConfig(min_inliers=4)

@@ -1,0 +1,259 @@
+"""Frontend kernel tests: FAST, BRIEF, Hamming matching, RANSAC."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvslam_tpu.ops.fast import FastConfig, detect_keypoints, fast_score_map
+from mvslam_tpu.ops.brief import BriefConfig, describe_keypoints, unpack_bits
+from mvslam_tpu.ops.hamming import (
+    MatchConfig,
+    gather_matched_points,
+    hamming_distance_matrix,
+    match_descriptors,
+    select_matches,
+)
+from mvslam_tpu.ops.image import gaussian_blur, rgb_to_gray
+from mvslam_tpu.ops.ransac import (
+    RansacConfig,
+    adaptive_ransac_threshold,
+    ransac_essential,
+    ransac_homography,
+)
+from mvslam_tpu.geometry.projection import normalize_pixels
+from mvslam_tpu.geometry.epipolar import decompose_essential
+
+
+def textured_image(h=128, w=160, seed=0, n_blobs=40):
+    """Random bright square blobs on dark background — strong corners."""
+    rng = np.random.default_rng(seed)
+    img = rng.uniform(0, 30, size=(h, w)).astype(np.float32)
+    for _ in range(n_blobs):
+        y = rng.integers(25, h - 25)
+        x = rng.integers(25, w - 25)
+        s = rng.integers(3, 7)
+        img[y : y + s, x : x + s] = rng.uniform(150, 255)
+    return img
+
+
+class TestImageOps:
+    def test_rgb_to_gray(self):
+        frame = jnp.ones((4, 6, 3), dtype=jnp.uint8) * 100
+        g = rgb_to_gray(frame)
+        assert g.shape == (4, 6)
+        assert np.allclose(g, 100.0, atol=0.5)
+
+    def test_gaussian_blur_preserves_mean(self):
+        img = jnp.asarray(textured_image())
+        blurred = gaussian_blur(img, sigma=1.5, radius=3)
+        assert blurred.shape == img.shape
+        assert abs(float(jnp.mean(blurred)) - float(jnp.mean(img))) < 1.0
+
+
+class TestFast:
+    def test_detects_blob_corners(self):
+        img = textured_image()
+        xy, scores, valid = detect_keypoints(jnp.asarray(img), num_keypoints=256)
+        n = int(valid.sum())
+        assert n > 20
+        # All detections near high-gradient pixels.
+        smap = np.asarray(fast_score_map(jnp.asarray(img), 20.0))
+        for x, y in np.asarray(xy[valid])[:20]:
+            assert smap[int(y), int(x)] > 0
+
+    def test_blank_image_yields_no_keypoints(self):
+        img = jnp.zeros((96, 96), dtype=jnp.float32)
+        xy, scores, valid = detect_keypoints(img, num_keypoints=128)
+        assert int(valid.sum()) == 0
+        assert np.all(np.asarray(scores) == 0)
+
+    def test_border_margin_respected(self):
+        img = textured_image()
+        cfg = FastConfig(border_margin=19)
+        xy, _, valid = detect_keypoints(jnp.asarray(img), num_keypoints=256, config=cfg)
+        pts = np.asarray(xy[valid])
+        if len(pts):
+            assert pts[:, 0].min() >= 19 and pts[:, 1].min() >= 19
+            assert pts[:, 0].max() < img.shape[1] - 19
+            assert pts[:, 1].max() < img.shape[0] - 19
+
+    def test_grid_selection_spreads(self):
+        img = textured_image(n_blobs=80)
+        cfg = FastConfig(grid_cells=4)
+        xy, _, valid = detect_keypoints(jnp.asarray(img), num_keypoints=128, config=cfg)
+        assert int(valid.sum()) > 16
+
+    def test_static_shapes(self):
+        img = jnp.asarray(textured_image())
+        xy, scores, valid = detect_keypoints(img, num_keypoints=64)
+        assert xy.shape == (64, 2) and scores.shape == (64,) and valid.shape == (64,)
+
+
+class TestBrief:
+    def test_descriptor_shift_invariance(self):
+        """Descriptors of the same physical corners match across a pure shift."""
+        img = textured_image(seed=3)
+        shift = 5
+        img2 = np.roll(img, shift, axis=1)
+        blur1 = gaussian_blur(jnp.asarray(img), sigma=2.0, radius=4)
+        blur2 = gaussian_blur(jnp.asarray(img2), sigma=2.0, radius=4)
+        xy1, _, v1 = detect_keypoints(jnp.asarray(img), num_keypoints=128)
+        xy2, _, v2 = detect_keypoints(jnp.asarray(img2), num_keypoints=128)
+        d1, _ = describe_keypoints(blur1, xy1, v1)
+        d2, _ = describe_keypoints(blur2, xy2, v2)
+        res = match_descriptors(d1, v1, d2, v2, MatchConfig(cross_check=True))
+        sel = select_matches(res, max_matches=128)
+        p1, p2 = gather_matched_points(xy1, xy2, sel)
+        m = np.asarray(sel.valid)
+        assert m.sum() >= 10
+        dx = np.asarray(p2)[m, 0] - np.asarray(p1)[m, 0]
+        dy = np.asarray(p2)[m, 1] - np.asarray(p1)[m, 1]
+        # Majority of matches should agree with the true shift.
+        good = (np.abs(dx - shift) <= 1.5) & (np.abs(dy) <= 1.5)
+        assert good.mean() > 0.7
+
+    def test_invalid_slots_zero(self):
+        img = gaussian_blur(jnp.asarray(textured_image()), 2.0, 4)
+        xy = jnp.zeros((16, 2), dtype=jnp.float32)
+        valid = jnp.zeros((16,), dtype=bool)
+        d, a = describe_keypoints(img, xy, valid)
+        assert np.all(np.asarray(d) == 0)
+
+    def test_pack_unpack_roundtrip(self):
+        rng = np.random.default_rng(0)
+        packed = jnp.asarray(rng.integers(0, 2**32, size=(8, 8), dtype=np.uint32))
+        bits = unpack_bits(packed)
+        assert bits.shape == (8, 256)
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        repacked = jnp.sum(
+            bits.reshape(8, 8, 32).astype(jnp.uint32) << shifts[None, None, :], axis=-1,
+            dtype=jnp.uint32,
+        )
+        assert np.array_equal(np.asarray(repacked), np.asarray(packed))
+
+
+class TestHamming:
+    def test_distance_matrix_exact(self):
+        rng = np.random.default_rng(1)
+        a = rng.integers(0, 2**32, size=(6, 8), dtype=np.uint32)
+        b = rng.integers(0, 2**32, size=(9, 8), dtype=np.uint32)
+        d = np.asarray(hamming_distance_matrix(jnp.asarray(a), jnp.asarray(b)))
+        for i in range(6):
+            for j in range(9):
+                expected = bin(int.from_bytes(a[i].tobytes(), "little") ^ int.from_bytes(b[j].tobytes(), "little")).count("1")
+                assert d[i, j] == expected
+
+    def test_cross_check_mutual(self):
+        a = np.zeros((3, 8), dtype=np.uint32)
+        a[0, 0] = 0b1111
+        a[1, 0] = 0b11110000
+        a[2, 0] = 0xFF00
+        b = a[[1, 0, 2]]  # permuted copies
+        res = match_descriptors(
+            jnp.asarray(a), jnp.ones(3, bool), jnp.asarray(b), jnp.ones(3, bool),
+            MatchConfig(cross_check=True),
+        )
+        assert np.array_equal(np.asarray(res.indices), [1, 0, 2])
+        assert np.all(np.asarray(res.valid))
+        assert np.all(np.asarray(res.distances) == 0)
+
+    def test_invalid_masked_out(self):
+        a = np.zeros((4, 8), dtype=np.uint32)
+        res = match_descriptors(
+            jnp.asarray(a), jnp.asarray([True, True, False, False]),
+            jnp.asarray(a), jnp.asarray([True, False, False, False]),
+            MatchConfig(cross_check=False),
+        )
+        assert np.all(np.asarray(res.indices[np.asarray(res.valid)]) == 0)
+        assert not np.any(np.asarray(res.valid)[2:])
+
+
+def synthetic_correspondences(n=256, outlier_frac=0.3, seed=0):
+    from mvslam_tpu.geometry.lie import so3_exp
+
+    rng = np.random.default_rng(seed)
+    pts3d = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1, 1, n), rng.uniform(4, 10, n)], 1)
+    R = np.asarray(so3_exp(jnp.asarray([0.03, -0.02, 0.01], dtype=jnp.float32)))
+    t = np.array([0.5, 0.1, 0.05])
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+    cam2 = pts3d @ R.T + t
+    uv1 = (pts3d[:, :2] / pts3d[:, 2:]) * [500, 500] + [320, 240]
+    uv2 = (cam2[:, :2] / cam2[:, 2:]) * [500, 500] + [320, 240]
+    n_out = int(n * outlier_frac)
+    out_idx = rng.choice(n, n_out, replace=False)
+    uv2[out_idx] += rng.uniform(20, 80, size=(n_out, 2)) * rng.choice([-1, 1], size=(n_out, 2))
+    inlier_gt = np.ones(n, bool)
+    inlier_gt[out_idx] = False
+    return uv1, uv2, R, t, K, inlier_gt
+
+
+class TestRansac:
+    def test_essential_with_outliers(self):
+        uv1, uv2, R, t, K, gt_inliers = synthetic_correspondences()
+        Kj = jnp.asarray(K, jnp.float32)
+        n1 = normalize_pixels(jnp.asarray(uv1, jnp.float32), Kj)
+        n2 = normalize_pixels(jnp.asarray(uv2, jnp.float32), Kj)
+        mask = jnp.ones(len(uv1), dtype=bool)
+        key = jax.random.key(0)
+        cfg = RansacConfig(num_hypotheses=256, threshold=2.0 / 500.0)
+        res = ransac_essential(key, n1, n2, mask, cfg)
+        assert bool(res.success)
+        found = np.asarray(res.inliers)
+        # Most true inliers recovered, few false positives.
+        assert (found & gt_inliers).sum() > 0.85 * gt_inliers.sum()
+        assert (found & ~gt_inliers).sum() < 0.1 * (~gt_inliers).sum() + 3
+        R_est, t_est, _ = decompose_essential(res.model, n1, n2, weights=res.inliers.astype(jnp.float32))
+        assert np.abs(np.asarray(R_est) - R).max() < 5e-3
+        t_unit = t / np.linalg.norm(t)
+        assert np.abs(np.asarray(t_est) - t_unit).max() < 5e-2
+
+    def test_essential_deterministic(self):
+        uv1, uv2, R, t, K, _ = synthetic_correspondences(seed=2)
+        Kj = jnp.asarray(K, jnp.float32)
+        n1 = normalize_pixels(jnp.asarray(uv1, jnp.float32), Kj)
+        n2 = normalize_pixels(jnp.asarray(uv2, jnp.float32), Kj)
+        mask = jnp.ones(len(uv1), dtype=bool)
+        cfg = RansacConfig(num_hypotheses=128, threshold=2.0 / 500.0)
+        r1 = ransac_essential(jax.random.key(7), n1, n2, mask, cfg)
+        r2 = ransac_essential(jax.random.key(7), n1, n2, mask, cfg)
+        assert np.array_equal(np.asarray(r1.model), np.asarray(r2.model))
+        assert int(r1.num_inliers) == int(r2.num_inliers)
+
+    def test_homography_with_outliers(self):
+        rng = np.random.default_rng(4)
+        H_true = np.array([[1.05, 0.01, 8.0], [-0.02, 0.98, -5.0], [1e-5, -1e-5, 1.0]])
+        n = 200
+        pts1 = rng.uniform(50, 400, size=(n, 2))
+        h = np.concatenate([pts1, np.ones((n, 1))], 1) @ H_true.T
+        pts2 = h[:, :2] / h[:, 2:]
+        out = rng.choice(n, 60, replace=False)
+        pts2[out] += rng.uniform(15, 60, size=(60, 2))
+        mask = jnp.ones(n, dtype=bool)
+        res = ransac_homography(
+            jax.random.key(1),
+            jnp.asarray(pts1, jnp.float32),
+            jnp.asarray(pts2, jnp.float32),
+            mask,
+            RansacConfig(num_hypotheses=256, threshold=2.0),
+        )
+        assert bool(res.success)
+        gt = np.ones(n, bool)
+        gt[out] = False
+        found = np.asarray(res.inliers)
+        assert (found & gt).sum() > 0.85 * gt.sum()
+
+    def test_too_few_points_fails_gracefully(self):
+        pts = jnp.zeros((16, 2), dtype=jnp.float32)
+        mask = jnp.zeros(16, dtype=bool).at[:4].set(True)
+        res = ransac_essential(jax.random.key(0), pts, pts, mask, RansacConfig(num_hypotheses=32))
+        assert not bool(res.success)
+
+    def test_adaptive_threshold(self):
+        p1 = jnp.zeros((10, 2), dtype=jnp.float32)
+        p2 = jnp.ones((10, 2), dtype=jnp.float32) * jnp.asarray([30.0, 40.0])  # disp 50
+        mask = jnp.ones(10, dtype=bool)
+        th = adaptive_ransac_threshold(1.0, p1, p2, mask)
+        assert float(th) == pytest.approx(2.0)  # 50/25 = 2, clipped max
+        th_empty = adaptive_ransac_threshold(1.0, p1, p2, jnp.zeros(10, dtype=bool))
+        assert float(th_empty) == pytest.approx(1.0)
