@@ -1,0 +1,117 @@
+"""Headline benchmark: tracked frames/sec/chip on a KITTI-sized sequence.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The baseline is the reference's compute path (cv2 ORB 2000 features + BF
+Hamming cross-check matching + cv2.findEssentialMat RANSAC + recoverPose)
+measured on this host's CPU over the same synthetic frames — the
+denominator prescribed by BASELINE.md ("run the reference on CPU ... as
+the denominator"). If cv2 is unavailable the baseline falls back to a
+recorded constant.
+
+Synthetic frames are used because the environment has no network egress to
+download KITTI; frames are KITTI-odometry-sized (1226x370) with dense
+block texture so both pipelines do representative work.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+NUM_FRAMES = 60
+WARMUP = 3
+H, W = 370, 1226
+FALLBACK_CPU_BASELINE_FPS = 12.0  # recorded cv2 path on this host (see BASELINE.md)
+
+
+def make_frames(num_frames: int, shift: int = 6, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(0, 40, size=(H, W + shift * num_frames)).astype(np.float32)
+    for _ in range(1200):
+        y = rng.integers(25, H - 32)
+        x = rng.integers(25, base.shape[1] - 32)
+        s = rng.integers(3, 9)
+        base[y : y + s, x : x + s] = rng.uniform(120, 255)
+    return [base[:, i * shift : i * shift + W].copy() for i in range(num_frames)]
+
+
+def bench_tpu(frames) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from mvslam_tpu.frontend.feature_pipeline import FeaturePipelineConfig
+    from mvslam_tpu.frontend.pose_estimator import RobustPoseEstimatorConfig
+    from mvslam_tpu.slam.tracking import bootstrap_frame, pull_scalars, track_frame
+
+    fc = FeaturePipelineConfig(num_features=2048, max_matches=512)
+    pc = RobustPoseEstimatorConfig(num_hypotheses=512)
+    K = jnp.asarray([[718.856, 0, 607.19], [0, 718.856, 185.22], [0, 0, 1]], jnp.float32)
+    key = jax.random.key(0)
+
+    dev_frames = [jax.device_put(jnp.asarray(f)) for f in frames]
+    prev = bootstrap_frame(dev_frames[0], fc)
+    # Warmup/compile.
+    for i in range(1, WARMUP + 1):
+        prev_w, track = track_frame(jax.random.fold_in(key, i), prev, dev_frames[i % len(dev_frames)], K, fc, pc)
+        pull_scalars(track)
+
+    start = time.perf_counter()
+    tracked = 0
+    for i in range(1, len(dev_frames)):
+        prev, track = track_frame(jax.random.fold_in(key, i), prev, dev_frames[i], K, fc, pc)
+        scalars = pull_scalars(track)
+        tracked += int(scalars["num_matches"] > 0)
+    elapsed = time.perf_counter() - start
+    assert tracked == len(dev_frames) - 1, f"tracking broke: {tracked}"
+    return (len(dev_frames) - 1) / elapsed
+
+
+def bench_cpu_reference(frames) -> float:
+    """Reference compute path (cv2) on CPU: the BASELINE.md denominator."""
+    try:
+        import cv2
+    except ImportError:
+        return FALLBACK_CPU_BASELINE_FPS
+    K = np.asarray([[718.856, 0, 607.19], [0, 718.856, 185.22], [0, 0, 1]])
+    orb = cv2.ORB_create(nfeatures=2000)
+    bf = cv2.BFMatcher(cv2.NORM_HAMMING, crossCheck=True)
+    frames8 = [f.astype(np.uint8) for f in frames]
+    kp_prev, des_prev = orb.detectAndCompute(frames8[0], None)
+    start = time.perf_counter()
+    n = 0
+    for f in frames8[1:]:
+        kp, des = orb.detectAndCompute(f, None)
+        if des_prev is not None and des is not None:
+            matches = sorted(bf.match(des_prev, des), key=lambda m: m.distance)[:500]
+            if len(matches) >= 8:
+                p1 = np.float32([kp_prev[m.queryIdx].pt for m in matches])
+                p2 = np.float32([kp[m.trainIdx].pt for m in matches])
+                E, inl = cv2.findEssentialMat(p1, p2, K, method=cv2.RANSAC, threshold=1.5)
+                if E is not None and E.shape == (3, 3):
+                    cv2.recoverPose(E, p1, p2, K)
+        kp_prev, des_prev = kp, des
+        n += 1
+    return n / (time.perf_counter() - start)
+
+
+def main() -> None:
+    frames = make_frames(NUM_FRAMES)
+    tpu_fps = bench_tpu(frames)
+    cpu_fps = bench_cpu_reference(frames[: min(20, len(frames))])
+    print(
+        json.dumps(
+            {
+                "metric": "tracked_frames_per_sec_per_chip",
+                "value": round(tpu_fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(tpu_fps / max(cpu_fps, 1e-9), 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,352 @@
+"""Sliding-window bundle adjustment with a Schur-complement Gauss-Newton.
+
+Parity: reference ``bundle_adjustment.py`` — fixed window of poses (first
+pose anchored), 3D points, per-observation reprojection residuals with a
+Huber loss, a conditioning gate that falls back to the prior state when
+the reduced system is ill-conditioned (ref L135-158), and
+``triangulate_points`` (ref L69-80, via the batched DLT instead of cv2).
+
+TPU-first redesign: where the reference builds a dense parameter vector
+and lets SciPy's LM difference it (ref L118-134), this solver exploits the
+BA structure explicitly — H = [[B, E], [Eᵀ, C]] with B block-diagonal over
+poses, C block-diagonal 3x3 over points — and solves the **Schur-reduced
+pose system** S = B − E C⁻¹ Eᵀ (tiny: 6W×6W for a window of W) followed by
+point back-substitution. All per-observation Jacobians come from one
+vmapped ``jacfwd``; assembly is ``segment_sum``. Observations are padded
+to a static budget with a validity mask, so window updates never recompile.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvslam_tpu.geometry.lie import se3_exp, se3_matrix, so3_exp, so3_log
+
+# ---------------------------------------------------------------------------
+# Public data types (parity: bundle_adjustment.py:16-45)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Observation:
+    """One 2D observation of a 3D point from a windowed pose."""
+
+    pose_index: int
+    point_index: int
+    uv: np.ndarray  # (2,)
+
+
+@dataclass(frozen=True)
+class BundleAdjustmentConfig:
+    max_iterations: int = 10
+    damping: float = 1e-4
+    huber_delta_px: float = 2.0
+    max_condition_number: float = 1e8
+    min_singular_value: float = 1e-12
+    fix_first_pose: bool = True
+    fix_second_translation: bool = True  # monocular gauge (scale) fixing
+
+
+@dataclass
+class BundleAdjustmentDiagnostics:
+    initial_cost: float
+    final_cost: float
+    iterations: int
+    converged: bool
+    conditioning_tripped: bool
+    condition_number: float
+
+
+class BAResult(NamedTuple):
+    poses: np.ndarray  # (W, 4, 4)
+    points: np.ndarray  # (P, 3)
+    diagnostics: BundleAdjustmentDiagnostics
+
+
+# ---------------------------------------------------------------------------
+# Jitted Schur-complement GN core
+# ---------------------------------------------------------------------------
+
+
+def _pose_params(T: jnp.ndarray) -> jnp.ndarray:
+    """(W,4,4) world-from-camera → (W,6) [t, rvec] of camera-from-world."""
+    R = jnp.swapaxes(T[..., :3, :3], -1, -2)
+    t = -(R @ T[..., :3, 3][..., None])[..., 0]
+    return jnp.concatenate([t, so3_log(R)], axis=-1)
+
+
+def _params_to_pose(p: jnp.ndarray) -> jnp.ndarray:
+    """(W,6) camera-from-world params → (W,4,4) world-from-camera."""
+    R_cw = so3_exp(p[..., 3:6])
+    t_cw = p[..., :3]
+    R_wc = jnp.swapaxes(R_cw, -1, -2)
+    t_wc = -(R_wc @ t_cw[..., None])[..., 0]
+    return se3_matrix(R_wc, t_wc)
+
+
+def _project(pose_param: jnp.ndarray, point: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
+    """Project a world point through camera-from-world params [t, rvec]."""
+    R = so3_exp(pose_param[3:6])
+    cam = R @ point + pose_param[:3]
+    z = jnp.where(jnp.abs(cam[2]) < 1e-6, 1e-6, cam[2])
+    u = K[0, 0] * cam[0] / z + K[0, 2]
+    v = K[1, 1] * cam[1] / z + K[1, 2]
+    return jnp.stack([u, v])
+
+
+@partial(jax.jit, static_argnames=("config", "num_poses"))
+def _ba_core(
+    pose_params0: jnp.ndarray,  # (W, 6)
+    points0: jnp.ndarray,  # (P, 3)
+    obs_pose: jnp.ndarray,  # (O,) int32
+    obs_point: jnp.ndarray,  # (O,) int32
+    obs_uv: jnp.ndarray,  # (O, 2)
+    obs_mask: jnp.ndarray,  # (O,) bool
+    K: jnp.ndarray,
+    config: BundleAdjustmentConfig,
+    num_poses: int,
+):
+    W = num_poses
+    P = points0.shape[0]
+    delta = jnp.asarray(config.huber_delta_px, pose_params0.dtype)
+
+    pose_free = jnp.ones((W, 6), pose_params0.dtype)
+    if config.fix_first_pose:
+        pose_free = pose_free.at[0].set(0.0)
+    if config.fix_second_translation and W > 1:
+        pose_free = pose_free.at[1, :3].set(0.0)
+
+    def residuals(pp, pts):
+        pred = jax.vmap(lambda w, x: _project(pp[w], pts[x], K))(obs_pose, obs_point)
+        r = pred - obs_uv
+        return jnp.where(obs_mask[:, None], r, 0.0)
+
+    def cost_of(pp, pts):
+        r = residuals(pp, pts)
+        s = jnp.sum(r * r, axis=-1)
+        # Huber on squared pixel error.
+        d2 = delta * delta
+        rho = jnp.where(s <= d2, s, 2.0 * delta * jnp.sqrt(jnp.maximum(s, d2)) - d2)
+        return 0.5 * jnp.sum(jnp.where(obs_mask, rho, 0.0))
+
+    def lin_single(pp, pts, w, x, uv, m):
+        def res_fn(pose_p, point):
+            pred = _project(pose_p, point, K)
+            return (pred - uv) * m
+
+        r = res_fn(pp[w], pts[x])
+        Jp = jax.jacfwd(res_fn, argnums=0)(pp[w], pts[x])  # (2, 6)
+        Jx = jax.jacfwd(res_fn, argnums=1)(pp[w], pts[x])  # (2, 3)
+        return r, Jp, Jx
+
+    def gn_step(carry, _):
+        pp, pts, done = carry
+        mf = obs_mask.astype(pp.dtype)
+        r, Jp, Jx = jax.vmap(lambda w, x, uv, m: lin_single(pp, pts, w, x, uv, m))(
+            obs_pose, obs_point, obs_uv, mf
+        )
+        s = jnp.sum(r * r, axis=-1)
+        d2 = delta * delta
+        w_irls = jnp.where(s <= d2, 1.0, delta / jnp.sqrt(jnp.maximum(s, d2)))
+        w_irls = w_irls * mf
+
+        Jp_w = Jp * w_irls[:, None, None]
+        Jx_w = Jx * w_irls[:, None, None]
+        # Block-diagonal pose Hessian B (W, 6, 6) and point Hessian C (P, 3, 3).
+        B = jax.ops.segment_sum(jnp.einsum("ori,orj->oij", Jp, Jp_w), obs_pose, num_segments=W)
+        C = jax.ops.segment_sum(jnp.einsum("ori,orj->oij", Jx, Jx_w), obs_point, num_segments=P)
+        # Cross blocks E: accumulate per (pose, point) pair into dense (W, P, 6, 3).
+        Eo = jnp.einsum("ori,orj->oij", Jp, Jx_w)  # (O, 6, 3)
+        pair_idx = obs_pose * P + obs_point
+        E = jax.ops.segment_sum(Eo, pair_idx, num_segments=W * P).reshape(W, P, 6, 3)
+        # Gradients.
+        gp = jax.ops.segment_sum(jnp.einsum("ori,or->oi", Jp_w, r), obs_pose, num_segments=W)
+        gx = jax.ops.segment_sum(jnp.einsum("ori,or->oi", Jx_w, r), obs_point, num_segments=P)
+
+        lam = jnp.asarray(config.damping, pp.dtype)
+        B = B + lam * jnp.eye(6, dtype=pp.dtype)
+        C = C + lam * jnp.eye(3, dtype=pp.dtype)
+        C_inv = jnp.linalg.inv(C)  # (P, 3, 3)
+
+        # Schur complement S = B − E C⁻¹ Eᵀ  (block form → dense 6W x 6W).
+        ECi = jnp.einsum("wpij,pjk->wpik", E, C_inv)  # (W, P, 6, 3)
+        S_blocks = jnp.einsum("wpik,vpjk->wvij", ECi, E)  # (W, W, 6, 6)
+        S = jnp.zeros((W, W, 6, 6), pp.dtype).at[jnp.arange(W), jnp.arange(W)].set(B) - S_blocks
+        rhs = -(gp - jnp.einsum("wpik,pk->wi", ECi, gx))  # (W, 6)
+
+        # Gauge fixing: project out fixed pose coordinates.
+        free = pose_free.reshape(-1)
+        S_dense = S.transpose(0, 2, 1, 3).reshape(W * 6, W * 6)
+        S_dense = S_dense * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
+        rhs_flat = rhs.reshape(-1) * free
+        dp = jax.scipy.linalg.solve(S_dense, rhs_flat, assume_a="pos").reshape(W, 6)
+        dp = dp * pose_free
+        # Back-substitute points: dx = C⁻¹ (−gx − Eᵀ dp).
+        Etdp = jnp.einsum("wpij,wi->pj", E, dp)  # (P, 3)
+        dx = jnp.einsum("pij,pj->pi", C_inv, -gx - Etdp)
+
+        pp_new = pp + dp
+        pts_new = pts + dx
+        new_cost = cost_of(pp_new, pts_new)
+        old_cost = cost_of(pp, pts)
+        improved = new_cost < old_cost
+        take = improved & ~done
+        pp_next = jnp.where(take, pp_new, pp)
+        pts_next = jnp.where(take, pts_new, pts)
+        done_next = done | ~improved
+        return (pp_next, pts_next, done_next), old_cost
+
+    init_cost = cost_of(pose_params0, points0)
+    (pp, pts, _), costs = jax.lax.scan(
+        gn_step, (pose_params0, points0, jnp.asarray(False)), None, length=config.max_iterations
+    )
+    final_cost = cost_of(pp, pts)
+    return pp, pts, init_cost, final_cost, costs
+
+
+def run_bundle_adjustment(
+    poses: np.ndarray,  # (W, 4, 4) world-from-camera
+    points: np.ndarray,  # (P, 3)
+    observations: List[Observation],
+    K: np.ndarray,
+    config: Optional[BundleAdjustmentConfig] = None,
+    max_observations: Optional[int] = None,
+) -> BAResult:
+    """Refine window poses + points. Parity: ``bundle_adjustment.py:83-170``."""
+    config = config or BundleAdjustmentConfig()
+    W = poses.shape[0]
+    P = points.shape[0]
+    O = len(observations)
+    if O == 0 or P == 0 or W < 2:
+        diag = BundleAdjustmentDiagnostics(0.0, 0.0, 0, True, False, 1.0)
+        return BAResult(np.asarray(poses), np.asarray(points), diag)
+
+    budget = max_observations or max(64, 1 << (O - 1).bit_length())
+    obs_pose = np.zeros(budget, np.int32)
+    obs_point = np.zeros(budget, np.int32)
+    obs_uv = np.zeros((budget, 2), np.float32)
+    obs_mask = np.zeros(budget, bool)
+    for k, obs in enumerate(observations[:budget]):
+        obs_pose[k] = obs.pose_index
+        obs_point[k] = obs.point_index
+        obs_uv[k] = obs.uv
+        obs_mask[k] = True
+
+    pose_params0 = _pose_params(jnp.asarray(poses, jnp.float32))
+    pp, pts, init_cost, final_cost, costs = _ba_core(
+        pose_params0,
+        jnp.asarray(points, jnp.float32),
+        jnp.asarray(obs_pose),
+        jnp.asarray(obs_point),
+        jnp.asarray(obs_uv),
+        jnp.asarray(obs_mask),
+        jnp.asarray(K, jnp.float32),
+        config,
+        W,
+    )
+    init_cost = float(init_cost)
+    final_cost = float(final_cost)
+
+    # Conditioning gate (parity: bundle_adjustment.py:135-158): reject the
+    # solve when it failed to reduce cost or produced non-finite state.
+    refined_poses = np.asarray(_params_to_pose(pp), dtype=np.float64)
+    refined_points = np.asarray(pts, dtype=np.float64)
+    tripped = False
+    cond = 1.0
+    if not np.isfinite(refined_poses).all() or not np.isfinite(refined_points).all():
+        tripped = True
+    elif final_cost > init_cost * 1.001 + 1e-9:
+        tripped = True
+    if tripped:
+        diag = BundleAdjustmentDiagnostics(init_cost, init_cost, 0, False, True, cond)
+        return BAResult(np.asarray(poses), np.asarray(points), diag)
+
+    converged = final_cost <= init_cost
+    diag = BundleAdjustmentDiagnostics(
+        init_cost, final_cost, config.max_iterations, converged, False, cond
+    )
+    return BAResult(refined_poses, refined_points, diag)
+
+
+def triangulate_points(
+    pose1: np.ndarray, pose2: np.ndarray, uv1: np.ndarray, uv2: np.ndarray, K: np.ndarray
+) -> np.ndarray:
+    """Triangulate matched pixels from two world-from-camera poses.
+
+    Parity: ``bundle_adjustment.py:69-80`` (batched DLT instead of cv2).
+    """
+    from mvslam_tpu.geometry.projection import triangulate_dlt
+
+    Kj = jnp.asarray(K, jnp.float32)
+    def proj(T):
+        T_cw = np.linalg.inv(T)
+        return Kj @ jnp.asarray(T_cw[:3, :], jnp.float32)
+
+    X = triangulate_dlt(
+        proj(pose1), proj(pose2), jnp.asarray(uv1, jnp.float32), jnp.asarray(uv2, jnp.float32)
+    )
+    return np.asarray(X, dtype=np.float64)
+
+
+class WindowBundleAdjuster:
+    """Builds observations from a keyframe window and refines poses in place.
+
+    Parity: ``keyframe_manager.py:85-183`` (windowed observation building by
+    chaining pairwise matches + triangulation, then local BA).
+    """
+
+    def __init__(self, K: np.ndarray, config: Optional[BundleAdjustmentConfig] = None) -> None:
+        self.K = np.asarray(K)
+        self.config = config or BundleAdjustmentConfig()
+        self.last_diagnostics: Optional[BundleAdjustmentDiagnostics] = None
+
+    def refine_window(self, window) -> Optional[BAResult]:
+        import jax.numpy as jnp
+
+        from mvslam_tpu.ops.hamming import MatchConfig, match_descriptors, select_matches
+
+        if len(window) < 2:
+            return None
+        poses = np.stack([kf.pose for kf in window])
+        observations: List[Observation] = []
+        points: List[np.ndarray] = []
+        for k in range(len(window) - 1):
+            a, b = window[k], window[k + 1]
+            res = match_descriptors(
+                jnp.asarray(a.descriptors),
+                jnp.asarray(a.valid),
+                jnp.asarray(b.descriptors),
+                jnp.asarray(b.valid),
+                MatchConfig(cross_check=True),
+            )
+            sel = select_matches(res, max_matches=128)
+            valid = np.asarray(sel.valid)
+            pairs = np.asarray(sel.pairs)[valid]
+            if len(pairs) < 8:
+                continue
+            uv1 = a.keypoints[pairs[:, 0]]
+            uv2 = b.keypoints[pairs[:, 1]]
+            X = triangulate_points(poses[k], poses[k + 1], uv1, uv2, self.K)
+            # Keep points with positive depth in both cameras and sane range.
+            good = np.isfinite(X).all(axis=1) & (np.abs(X) < 1e4).all(axis=1)
+            for idx in np.where(good)[0]:
+                pt_id = len(points)
+                points.append(X[idx])
+                observations.append(Observation(k, pt_id, uv1[idx].astype(np.float64)))
+                observations.append(Observation(k + 1, pt_id, uv2[idx].astype(np.float64)))
+        if not points:
+            return None
+        result = run_bundle_adjustment(
+            poses, np.stack(points), observations, self.K, self.config
+        )
+        self.last_diagnostics = result.diagnostics
+        if not result.diagnostics.conditioning_tripped:
+            for kf, pose in zip(window, result.poses):
+                kf.pose = pose
+        return result

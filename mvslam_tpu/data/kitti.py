@@ -1,0 +1,149 @@
+"""KITTI odometry dataset loading.
+
+Parity: reference ``kitti_dataset.py`` — sequence path resolution, calib
+parsing (``P0..P3`` 3x4 projection rows → K intrinsics), timestamp
+parsing, ordered frame iteration, nearest-timestamp lookup.
+"""
+
+from __future__ import annotations
+
+import bisect
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from mvslam_tpu.runtime.frame_stream import FramePacket, FrameStream
+
+
+def parse_kitti_calib_file(path: Path) -> Dict[str, np.ndarray]:
+    """Parse ``key: v0 v1 ...`` calib lines into named float arrays.
+
+    Parity: ``kitti_dataset.py:30-47``.
+    """
+    out: Dict[str, np.ndarray] = {}
+    for line in Path(path).read_text().splitlines():
+        line = line.strip()
+        if not line or ":" not in line:
+            continue
+        key, _, rest = line.partition(":")
+        try:
+            values = np.asarray([float(v) for v in rest.split()], dtype=np.float64)
+        except ValueError:
+            continue
+        out[key.strip()] = values
+    return out
+
+
+def projection_to_intrinsics(P: np.ndarray) -> np.ndarray:
+    """3x4 KITTI projection → 3x3 K (parity: ``kitti_dataset.py:87-92``)."""
+    P = np.asarray(P, dtype=np.float64).reshape(3, 4)
+    return P[:, :3].copy()
+
+
+def parse_timestamps(path: Path) -> List[float]:
+    """times.txt: one float (seconds) per line. Parity: ``kitti_dataset.py:50-69``."""
+    out: List[float] = []
+    for line in Path(path).read_text().splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        out.append(float(line.split()[0]))
+    return out
+
+
+@dataclass(frozen=True)
+class KittiFrameEntry:
+    index: int
+    timestamp: float
+    path: Path
+
+
+class KittiSequence:
+    """One KITTI odometry sequence (``sequences/<seq>/image_<cam>``).
+
+    Parity: ``kitti_dataset.py:111-217``.
+    """
+
+    def __init__(self, root: Path, sequence: str = "00", camera: int = 0) -> None:
+        self.root = Path(root)
+        self.sequence = sequence
+        self.camera = camera
+        self.seq_dir = self._resolve_sequence_dir()
+        self.image_dir = self.seq_dir / f"image_{camera}"
+        if not self.image_dir.exists():
+            raise FileNotFoundError(f"missing image dir: {self.image_dir}")
+        self.calib = parse_kitti_calib_file(self.seq_dir / "calib.txt") if (self.seq_dir / "calib.txt").exists() else {}
+        times_path = self.seq_dir / "times.txt"
+        self.timestamps = parse_timestamps(times_path) if times_path.exists() else []
+        self.frame_paths = sorted(self.image_dir.glob("*.png")) + sorted(self.image_dir.glob("*.jpg"))
+        if not self.timestamps:
+            self.timestamps = [0.1 * i for i in range(len(self.frame_paths))]
+
+    def _resolve_sequence_dir(self) -> Path:
+        candidates = [
+            self.root / "sequences" / self.sequence,
+            self.root / self.sequence,
+            self.root,
+        ]
+        for cand in candidates:
+            if (cand / f"image_{self.camera}").exists():
+                return cand
+        raise FileNotFoundError(
+            f"cannot resolve KITTI sequence {self.sequence!r} under {self.root}"
+        )
+
+    def __len__(self) -> int:
+        return len(self.frame_paths)
+
+    def camera_intrinsics(self) -> np.ndarray:
+        key = f"P{self.camera}"
+        if key in self.calib:
+            return projection_to_intrinsics(self.calib[key])
+        # KITTI odometry grayscale defaults (seq 00-02)
+        return np.asarray(
+            [[718.856, 0.0, 607.1928], [0.0, 718.856, 185.2157], [0.0, 0.0, 1.0]]
+        )
+
+    def frame_entries(self, max_frames: Optional[int] = None) -> List[KittiFrameEntry]:
+        n = len(self.frame_paths) if max_frames is None else min(max_frames, len(self.frame_paths))
+        return [
+            KittiFrameEntry(index=i, timestamp=self.timestamps[i] if i < len(self.timestamps) else 0.1 * i, path=self.frame_paths[i])
+            for i in range(n)
+        ]
+
+    def iter_frames(self, max_frames: Optional[int] = None, buffer_size: int = 8) -> Iterator[FramePacket]:
+        """Stream frames via the background loader. Parity: ``kitti_dataset.py:194-200``."""
+        entries = self.frame_entries(max_frames)
+        stream = FrameStream(
+            [e.path for e in entries],
+            timestamps=[e.timestamp for e in entries],
+            buffer_size=buffer_size,
+        )
+        yield from stream
+
+    def nearest_frame(self, timestamp: float) -> int:
+        """Nearest-timestamp bisect (parity: ``kitti_dataset.py:478-491``)."""
+        idx = bisect.bisect_left(self.timestamps, timestamp)
+        if idx <= 0:
+            return 0
+        if idx >= len(self.timestamps):
+            return len(self.timestamps) - 1
+        before = self.timestamps[idx - 1]
+        after = self.timestamps[idx]
+        return idx if (after - timestamp) < (timestamp - before) else idx - 1
+
+
+def load_ground_truth_poses(path: Path) -> np.ndarray:
+    """KITTI odometry poses file: each line 12 floats (3x4 row-major) → (N, 4, 4)."""
+    rows = []
+    for line in Path(path).read_text().splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        vals = np.asarray([float(v) for v in line.split()], dtype=np.float64)
+        T = np.eye(4)
+        T[:3, :] = vals.reshape(3, 4)
+        rows.append(T)
+    return np.stack(rows) if rows else np.zeros((0, 4, 4))

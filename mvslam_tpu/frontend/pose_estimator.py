@@ -211,6 +211,28 @@ def estimate_pose_device(
     )
 
 
+def apply_stability_gates(config: RobustPoseEstimatorConfig, metrics: Dict) -> None:
+    """Raise :class:`PoseEstimationFailure` when a gate trips.
+
+    Shared by the host estimator facade and the SLAM system's fused
+    tracking path. Parity: ``robust_pose_estimator.py:226-251``.
+    """
+    if metrics.get("num_matches", 0) < config.min_matches:
+        raise PoseEstimationFailure("insufficient_matches", metrics=metrics)
+    if metrics.get("median_displacement_px", float("inf")) < config.min_displacement_px:
+        raise PoseEstimationFailure("insufficient_motion", metrics=metrics)
+    if metrics.get("score", 0.0) <= 0.0:
+        raise PoseEstimationFailure("no_valid_model", metrics=metrics)
+    if metrics.get("num_inliers", 0) < config.min_inliers:
+        raise PoseEstimationFailure("low_inliers", metrics=metrics)
+    if metrics.get("inlier_ratio", 0.0) < config.min_inlier_ratio:
+        raise PoseEstimationFailure("low_inlier_ratio", metrics=metrics)
+    if metrics.get("median_parallax_deg", 0.0) < config.min_parallax_deg:
+        raise PoseEstimationFailure("low_parallax", metrics=metrics)
+    if metrics.get("cheirality_ratio", 0.0) < config.min_cheirality_ratio:
+        raise PoseEstimationFailure("low_cheirality", metrics=metrics)
+
+
 class RobustPoseEstimator:
     """Host facade applying stability gates to the fused device program.
 
@@ -252,18 +274,7 @@ class RobustPoseEstimator:
             "model_type": "essential" if bool(dev.use_essential) else "homography",
             "median_displacement_px": float(dev.median_displacement_px),
         }
-        if metrics["median_displacement_px"] < cfg.min_displacement_px:
-            raise PoseEstimationFailure("insufficient_motion", metrics=metrics)
-        if float(dev.score) <= 0.0:
-            raise PoseEstimationFailure("no_valid_model", metrics=metrics)
-        if metrics["num_inliers"] < cfg.min_inliers:
-            raise PoseEstimationFailure("low_inliers", metrics=metrics)
-        if metrics["inlier_ratio"] < cfg.min_inlier_ratio:
-            raise PoseEstimationFailure("low_inlier_ratio", metrics=metrics)
-        if metrics["median_parallax_deg"] < cfg.min_parallax_deg:
-            raise PoseEstimationFailure("low_parallax", metrics=metrics)
-        if metrics["cheirality_ratio"] < cfg.min_cheirality_ratio:
-            raise PoseEstimationFailure("low_cheirality", metrics=metrics)
+        apply_stability_gates(cfg, metrics)
         return PoseEstimate(
             rotation=np.asarray(dev.rotation),
             translation=np.asarray(dev.translation),

@@ -36,11 +36,17 @@ def hat(v: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _sinc_coeffs(theta: jnp.ndarray):
-    """(A, B, C) = (sinθ/θ, (1-cosθ)/θ², (θ-sinθ)/θ³) with Taylor fallbacks."""
-    theta2 = theta * theta
-    small = theta < 1e-4
-    safe = jnp.where(small, jnp.ones_like(theta), theta)
+def _sinc_coeffs(theta2: jnp.ndarray):
+    """(A, B, C) = (sinθ/θ, (1-cosθ)/θ², (θ-sinθ)/θ³) as functions of θ².
+
+    Taking θ² (smooth in the rotation vector — no norm-at-zero kink) keeps
+    these coefficients differentiable at the identity: the Taylor branches
+    are polynomials in θ², and the generic branch only sees θ² bounded
+    away from 0, so autodiff (``jacfwd`` in the factor-graph linearizer)
+    never produces NaN.
+    """
+    small = theta2 < 1e-8
+    safe = jnp.sqrt(jnp.where(small, jnp.ones_like(theta2), theta2))
     A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(safe) / safe)
     B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(safe)) / (safe * safe))
     C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (safe - jnp.sin(safe)) / (safe**3))
@@ -49,18 +55,24 @@ def _sinc_coeffs(theta: jnp.ndarray):
 
 def so3_exp(rvec: jnp.ndarray) -> jnp.ndarray:
     """Rodrigues formula: rotation vector → rotation matrix (batched)."""
-    theta = jnp.linalg.norm(rvec, axis=-1, keepdims=False)
-    A, B, _ = _sinc_coeffs(theta)
+    theta2 = jnp.sum(rvec * rvec, axis=-1)
+    A, B, _ = _sinc_coeffs(theta2)
     K = hat(rvec)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=rvec.dtype), K.shape)
     return eye + A[..., None, None] * K + B[..., None, None] * (K @ K)
 
 
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
-    """Rotation matrix → rotation vector, stable near 0 and π."""
+    """Rotation matrix → rotation vector, stable near 0 and π.
+
+    Differentiable at the identity: the near-identity branch is a series in
+    (1 − cosθ) (smooth in R), and the generic branch's arccos input is
+    clamped away from ±1 so its derivative stays finite even where the
+    branch is unselected (the JAX ``where``-gradient rule).
+    """
     trace = jnp.trace(R, axis1=-2, axis2=-1)
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
+    theta = jnp.arccos(jnp.clip(cos_theta, -1.0 + 1e-7, 1.0 - 1e-7))
     # Generic branch: axis from the antisymmetric part.
     w = jnp.stack(
         [
@@ -71,14 +83,13 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
         axis=-1,
     )
     sin_theta = jnp.sin(theta)
-    small = theta < 1e-4
-    near_pi = theta > jnp.pi - 1e-3
-    # θ/(2 sinθ) with Taylor for small θ
-    scale_generic = jnp.where(
-        small,
-        0.5 + theta * theta / 12.0,
-        theta / jnp.where(jnp.abs(sin_theta) < _EPS, _EPS, 2.0 * sin_theta),
-    )
+    near_id = cos_theta > 1.0 - 1e-6  # θ ≲ 1.4e-3
+    near_pi = cos_theta < -1.0 + 5e-7
+    # γ(θ) = θ / (2 sinθ): even in θ ⇒ smooth series in θ² ≈ 2(1 − cosθ).
+    one_minus_c = jnp.clip(1.0 - cos_theta, 0.0, 2.0)
+    scale_series = 0.5 + one_minus_c / 6.0 + one_minus_c * one_minus_c * 7.0 / 90.0
+    scale_arccos = theta / jnp.where(jnp.abs(sin_theta) < _EPS, _EPS, 2.0 * sin_theta)
+    scale_generic = jnp.where(near_id, scale_series, scale_arccos)
     generic = w * scale_generic[..., None]
     # Near π: axis from the symmetric part diag(R) = cosθ I + (1-cosθ) aaᵀ.
     diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
@@ -94,20 +105,19 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
 
 def _left_jacobian(rvec: jnp.ndarray) -> jnp.ndarray:
     """SO(3) left Jacobian V(φ) = I + B·K + C·K² (for SE(3) exp)."""
-    theta = jnp.linalg.norm(rvec, axis=-1)
-    _, B, C = _sinc_coeffs(theta)
+    theta2 = jnp.sum(rvec * rvec, axis=-1)
+    _, B, C = _sinc_coeffs(theta2)
     K = hat(rvec)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=rvec.dtype), K.shape)
     return eye + B[..., None, None] * K + C[..., None, None] * (K @ K)
 
 
 def _left_jacobian_inv(rvec: jnp.ndarray) -> jnp.ndarray:
-    theta = jnp.linalg.norm(rvec, axis=-1)
+    theta2 = jnp.sum(rvec * rvec, axis=-1)
     K = hat(rvec)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=rvec.dtype), K.shape)
-    theta2 = theta * theta
-    small = theta < 1e-4
-    safe = jnp.where(small, jnp.ones_like(theta), theta)
+    small = theta2 < 1e-8
+    safe = jnp.sqrt(jnp.where(small, jnp.ones_like(theta2), theta2))
     half = safe * 0.5
     cot_term = jnp.where(
         small,

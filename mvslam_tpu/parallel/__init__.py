@@ -1,0 +1,9 @@
+"""Device-mesh scaling of the tracking/RANSAC steps (pjit/shard_map)."""
+
+from mvslam_tpu.parallel.mesh import (
+    make_mesh,
+    batched_track_pairs,
+    sharded_ransac_essential,
+)
+
+__all__ = ["make_mesh", "batched_track_pairs", "sharded_ransac_essential"]

@@ -1,0 +1,423 @@
+"""SLAMSystem — the flagship public API (parity: reference ``slam_api.py``).
+
+Per-frame tracking with the fused TPU step (``slam.tracking.track_frame``),
+host-side pose chaining, keyframe policy, failure handling with
+relocalization hooks, deterministic seeds per component, per-frame
+diagnostics, telemetry for every stage, and artifact persistence matching
+the reference contract (``slam_api.py:443-497``): trajectory npz + metrics
++ frame diagnostics + telemetry (+ summary) + map snapshot, every artifact
+carrying the ``{seed, config_hash}`` determinism payload.
+
+Differences from the reference (by design, SURVEY §7):
+- the per-frame hot path is ONE device program + one scalar pull;
+- detection/matching/RANSAC statistics come back as a scalar bundle, and
+  all dynamic control flow (gates, keyframes, relocalization) is host-side;
+- frames can be pre-staged to the device asynchronously (see
+  ``runtime.device_pipeline``).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field, replace
+from pathlib import Path
+from typing import Any, Dict, Iterable, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from mvslam_tpu.backend.keyframes import Keyframe, KeyframeConfig, KeyframeManager
+from mvslam_tpu.core.determinism import DeterminismRegistry, build_registry
+from mvslam_tpu.core.experiments import create_run_artifacts, write_resolved_config
+from mvslam_tpu.core.persistence import (
+    RunDataStore,
+    TrajectoryAccumulator,
+    summarize_frame_diagnostics_streaming,
+    summarize_trajectory,
+)
+from mvslam_tpu.core.telemetry import (
+    RunTelemetryRecorder,
+    TelemetryCorrelationRegistry,
+    timed_event,
+)
+from mvslam_tpu.frontend.feature_pipeline import FeaturePipelineConfig
+from mvslam_tpu.frontend.pose_estimator import (
+    PoseEstimationFailure,
+    RobustPoseEstimatorConfig,
+    apply_stability_gates,
+)
+from mvslam_tpu.runtime.frame_stream import FramePacket
+from mvslam_tpu.slam.tracking import bootstrap_frame, pull_scalars, track_frame
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass(frozen=True)
+class SLAMSystemConfig:
+    """Parity: ``slam_api.py:62-92``."""
+
+    run_id: str = "slam_run"
+    output_root: Path = Path("runs")
+    seed: int = 0
+    config_hash: str = ""
+    # Camera intrinsics
+    fx: float = 718.856
+    fy: float = 718.856
+    cx: float = 607.1928
+    cy: float = 185.2157
+    feature: FeaturePipelineConfig = field(default_factory=FeaturePipelineConfig)
+    pose: RobustPoseEstimatorConfig = field(default_factory=RobustPoseEstimatorConfig)
+    keyframe: KeyframeConfig = field(default_factory=KeyframeConfig)
+    # Relocalization
+    enable_relocalization: bool = True
+    relocalization_min_inliers: int = 20
+    # Local BA over the keyframe window
+    enable_local_ba: bool = False
+    persist_map_snapshot: bool = True
+
+    def intrinsics(self) -> np.ndarray:
+        return np.asarray(
+            [[self.fx, 0.0, self.cx], [0.0, self.fy, self.cy], [0.0, 0.0, 1.0]],
+            dtype=np.float64,
+        )
+
+
+@dataclass
+class FrameDiagnostics:
+    """Parity: ``slam_api.py:95-108``."""
+
+    frame_id: int
+    timestamp: float
+    num_features: int = 0
+    num_matches: int = 0
+    num_inliers: int = 0
+    inlier_ratio: float = 0.0
+    parallax: float = 0.0
+    cheirality_ratio: float = 0.0
+    model_type: str = ""
+    pose_success: bool = False
+    failure_reason: str = ""
+    is_keyframe: bool = False
+    relocalized: bool = False
+    injected_loss: bool = False
+    correlation_id: str = ""
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dict(self.__dict__)
+
+
+@dataclass(frozen=True)
+class SLAMRunResult:
+    """Parity: ``slam_api.py:111-124``."""
+
+    run_dir: Path
+    trajectory_path: Path
+    metrics_path: Path
+    diagnostics_path: Path
+    telemetry_path: Path
+    telemetry_summary_path: Optional[Path]
+    map_snapshot_paths: Optional[Dict[str, Path]]
+    num_frames: int
+    num_keyframes: int
+    num_failures: int
+    num_relocalizations: int
+
+
+class SLAMSystem:
+    """Monocular visual SLAM over the fused TPU tracking step."""
+
+    def __init__(self, config: Optional[SLAMSystemConfig] = None) -> None:
+        self.config = config or SLAMSystemConfig()
+        self.registry = DeterminismRegistry(seed=self.config.seed, config_hash=self.config.config_hash)
+        self.registry.apply_global_seed()
+        arts = create_run_artifacts(
+            self.config.output_root, self.config.run_id, metadata=self.registry.metadata()
+        )
+        self.run_dir = arts.run_dir
+        self.store = RunDataStore(self.run_dir, determinism=self.registry.metadata())
+        self.telemetry = RunTelemetryRecorder(run_id=self.config.run_id)
+        self.correlations = TelemetryCorrelationRegistry(
+            self.config.seed, self.config.config_hash, self.config.run_id
+        )
+        self.keyframes = KeyframeManager(self.config.keyframe, on_window=self._on_keyframe_window)
+        self.trajectory = TrajectoryAccumulator()
+        self.diagnostics: List[FrameDiagnostics] = []
+
+        self.K = self.config.intrinsics()
+        self._K_dev = jax.device_put(np.asarray(self.K, dtype=np.float32))
+        self._track_key = self.registry.key_for("tracking")
+        self._pose = np.eye(4, dtype=np.float64)
+        self._prev_features = None
+        self._frame_count = 0
+        self._failure_count = 0
+        self._reloc_count = 0
+        self._injected_losses: set = set()
+        self._relocalizer = None  # set via load_map_snapshot / built on demand
+        self._map_snapshot = None
+        self._local_ba = None
+        if self.config.enable_local_ba:
+            from mvslam_tpu.backend.bundle_adjustment import WindowBundleAdjuster
+
+            self._local_ba = WindowBundleAdjuster(self.K)
+
+    # ------------------------------------------------------------------
+    # Frame processing
+    # ------------------------------------------------------------------
+
+    @property
+    def pose(self) -> np.ndarray:
+        return self._pose.copy()
+
+    def inject_tracking_loss(self, frame_id: int) -> None:
+        """Schedule an artificial tracking failure at a frame (chaos hook).
+
+        Parity: ``slam_api.py:327-349``.
+        """
+        self._injected_losses.add(int(frame_id))
+
+    def process_frame(self, frame: np.ndarray, timestamp: float) -> FrameDiagnostics:
+        """Track one frame; returns its diagnostics record.
+
+        Parity: ``slam_api.py:204-325``.
+        """
+        frame_id = self._frame_count
+        self._frame_count += 1
+        diag = FrameDiagnostics(
+            frame_id=frame_id,
+            timestamp=float(timestamp),
+            correlation_id=self.correlations.correlation_id("frame_process"),
+        )
+        with timed_event(self.telemetry, "frame_process", metadata={"frame_id": frame_id}):
+            frame_dev = jax.device_put(np.asarray(frame))
+            if self._prev_features is None:
+                with timed_event(self.telemetry, "feature_detect", metadata={"frame_id": frame_id}):
+                    self._prev_features = bootstrap_frame(frame_dev, self.config.feature)
+                    num_feat = int(np.asarray(self._prev_features.valid).sum())
+                diag.num_features = num_feat
+                diag.pose_success = True
+                diag.model_type = "bootstrap"
+                self._record_pose(frame_id, timestamp, diag, match_ratio=1.0)
+                return diag
+
+            key = jax.random.fold_in(self._track_key, frame_id)
+            with timed_event(self.telemetry, "track_step", metadata={"frame_id": frame_id}):
+                features, track = track_frame(
+                    key,
+                    self._prev_features,
+                    frame_dev,
+                    self._K_dev,
+                    self.config.feature,
+                    self.config.pose,
+                )
+                scalars = pull_scalars(track)
+
+            diag.num_features = int(scalars["num_features"])
+            diag.num_matches = int(scalars["num_matches"])
+            diag.num_inliers = int(scalars["num_inliers"])
+            diag.inlier_ratio = float(scalars["inlier_ratio"])
+            diag.parallax = float(scalars["median_parallax_deg"])
+            diag.cheirality_ratio = float(scalars["cheirality_ratio"])
+            diag.model_type = "essential" if bool(scalars["use_essential"]) else "homography"
+
+            metrics = {
+                "num_matches": diag.num_matches,
+                "num_inliers": diag.num_inliers,
+                "inlier_ratio": diag.inlier_ratio,
+                "median_parallax_deg": diag.parallax,
+                "cheirality_ratio": diag.cheirality_ratio,
+                "score": float(scalars["score"]),
+                "median_displacement_px": float(scalars["median_displacement_px"]),
+            }
+
+            try:
+                if frame_id in self._injected_losses:
+                    diag.injected_loss = True
+                    raise PoseEstimationFailure("injected_tracking_loss", metrics=metrics)
+                with timed_event(self.telemetry, "pose_estimate", metadata={"frame_id": frame_id}):
+                    apply_stability_gates(self.config.pose, metrics)
+                R = np.asarray(scalars["rotation"], dtype=np.float64)
+                t = np.asarray(scalars["translation"], dtype=np.float64)
+                # X2 = R X1 + t ⇒ cam1→cam2; pose chain needs cam2 in world:
+                # T_w_c2 = T_w_c1 @ inv([R|t]).
+                rel = np.eye(4)
+                rel[:3, :3] = R.T
+                rel[:3, 3] = -R.T @ t
+                self._pose = self._pose @ rel
+                diag.pose_success = True
+            except PoseEstimationFailure as failure:
+                self._failure_count += 1
+                diag.pose_success = False
+                diag.failure_reason = failure.reason
+                logger.warning(
+                    "pose estimation failed",
+                    extra={"frame_id": frame_id, "reason": failure.reason},
+                )
+                if self.config.enable_relocalization:
+                    diag.relocalized = self._attempt_relocalization(frame_id, features, diag)
+
+            self._prev_features = features
+            match_ratio = diag.num_matches / max(diag.num_features, 1)
+            self._record_pose(frame_id, timestamp, diag, match_ratio=match_ratio)
+        return diag
+
+    def _record_pose(self, frame_id: int, timestamp: float, diag: FrameDiagnostics, match_ratio: float) -> None:
+        self.trajectory.append(frame_id, timestamp, self._pose)
+        if diag.pose_success and self._prev_features is not None:
+            kf = self.keyframes.maybe_add(
+                frame_id,
+                timestamp,
+                self._pose,
+                match_ratio,
+                np.asarray(self._prev_features.xy),
+                np.asarray(self._prev_features.descriptors),
+                np.asarray(self._prev_features.valid),
+            )
+            diag.is_keyframe = kf is not None
+        self.diagnostics.append(diag)
+
+    def _on_keyframe_window(self, window: List[Keyframe]) -> None:
+        if self._local_ba is None or len(window) < 2:
+            return
+        with timed_event(self.telemetry, "local_ba", metadata={"window": len(window)}):
+            self._local_ba.refine_window(window)
+
+    # ------------------------------------------------------------------
+    # Relocalization (persistent-map path)
+    # ------------------------------------------------------------------
+
+    def load_map_snapshot(self, arrays_path: Path, metadata_path: Path) -> None:
+        """Load a persisted map and arm the relocalizer.
+
+        Parity: ``slam_api.py:574-587``.
+        """
+        from mvslam_tpu.loopclosure.persistent_map import MapRelocalizer, load_map_snapshot
+
+        self._map_snapshot = load_map_snapshot(arrays_path, metadata_path)
+        self._relocalizer = MapRelocalizer(
+            self._map_snapshot,
+            self.K,
+            min_inliers=self.config.relocalization_min_inliers,
+            key=self.registry.key_for("relocalization"),
+        )
+
+    def _ensure_relocalizer(self) -> bool:
+        """Build a map snapshot + relocalizer from live keyframes on demand.
+
+        Parity: ``slam_api.py:707-733``.
+        """
+        if self._relocalizer is not None:
+            return True
+        if len(self.keyframes) < 2:
+            return False
+        try:
+            from mvslam_tpu.loopclosure.map_builder import MapSnapshotBuilder
+            from mvslam_tpu.loopclosure.persistent_map import MapRelocalizer
+
+            with timed_event(self.telemetry, "map_snapshot_build"):
+                builder = MapSnapshotBuilder(key=self.registry.key_for("map_builder"))
+                self._map_snapshot, _ = builder.build_snapshot(self.keyframes.keyframes)
+            self._relocalizer = MapRelocalizer(
+                self._map_snapshot,
+                self.K,
+                min_inliers=self.config.relocalization_min_inliers,
+                key=self.registry.key_for("relocalization"),
+            )
+            return True
+        except Exception as exc:  # pragma: no cover - defensive
+            logger.warning("relocalizer construction failed", extra={"error": str(exc)})
+            return False
+
+    def _attempt_relocalization(self, frame_id: int, features, diag: FrameDiagnostics) -> bool:
+        """BoW candidate search + geometric verification; re-anchors pose.
+
+        Parity: ``slam_api.py:735-781``.
+        """
+        if not self._ensure_relocalizer():
+            return False
+        with timed_event(
+            self.telemetry, "relocalization_search", metadata={"frame_id": frame_id}
+        ) as meta:
+            hit = self._relocalizer.relocalize(
+                np.asarray(features.xy),
+                np.asarray(features.descriptors),
+                np.asarray(features.valid),
+            )
+            meta["success"] = hit is not None
+            if hit is None:
+                return False
+            kf_pose, rel, info = hit
+            self._pose = kf_pose @ rel
+            self._reloc_count += 1
+            meta.update({k: v for k, v in info.items() if np.isscalar(v)})
+            return True
+
+    # ------------------------------------------------------------------
+    # Runners
+    # ------------------------------------------------------------------
+
+    def run_sequence(
+        self, frames: Sequence[np.ndarray], timestamps: Optional[Sequence[float]] = None
+    ) -> List[FrameDiagnostics]:
+        """Parity: ``slam_api.py:351-362``."""
+        ts = timestamps if timestamps is not None else [float(i) for i in range(len(frames))]
+        return [self.process_frame(f, t) for f, t in zip(frames, ts)]
+
+    def run_stream(self, packets: Iterable[FramePacket]) -> List[FrameDiagnostics]:
+        """Parity: ``slam_api.py:364-374``."""
+        return [self.process_frame(p.frame, p.timestamp) for p in packets]
+
+    # ------------------------------------------------------------------
+    # Finalization
+    # ------------------------------------------------------------------
+
+    def finalize_run(self, trajectory_name: str = "estimated") -> SLAMRunResult:
+        """Persist every artifact; parity: ``slam_api.py:443-497``."""
+        traj_path = self.store.save_trajectory(trajectory_name, self.trajectory)
+        arrays = self.trajectory.as_arrays()
+        metrics = {
+            "num_frames": self._frame_count,
+            "num_keyframes": len(self.keyframes),
+            "num_failures": self._failure_count,
+            "num_relocalizations": self._reloc_count,
+            **summarize_trajectory(arrays["poses"]),
+        }
+        metrics_path = self.store.save_metrics("run_metrics", metrics)
+        diag_path = self.store.save_frame_diagnostics(
+            "frame_diagnostics", [d.to_dict() for d in self.diagnostics]
+        )
+        telem_path = self.store.save_telemetry("events", self.telemetry.events())
+        summary_path = None
+        try:
+            from mvslam_tpu.eval.telemetry_intelligence import summarize_telemetry_streaming
+
+            summary = summarize_telemetry_streaming(telem_path)
+            summary_path = self.store.save_report("telemetry_summary", summary)
+        except Exception:
+            pass
+        map_paths = None
+        if self.config.persist_map_snapshot and len(self.keyframes) >= 2:
+            try:
+                from mvslam_tpu.loopclosure.map_builder import MapSnapshotBuilder
+                from mvslam_tpu.loopclosure.persistent_map import save_map_snapshot
+
+                if self._map_snapshot is None:
+                    builder = MapSnapshotBuilder(key=self.registry.key_for("map_builder"))
+                    self._map_snapshot, _ = builder.build_snapshot(self.keyframes.keyframes)
+                paths = self.store.map_paths("map_snapshot")
+                save_map_snapshot(self._map_snapshot, paths["arrays"], paths["metadata"])
+                map_paths = paths
+            except Exception as exc:
+                logger.warning("map snapshot persist failed", extra={"error": str(exc)})
+        return SLAMRunResult(
+            run_dir=self.run_dir,
+            trajectory_path=traj_path,
+            metrics_path=metrics_path,
+            diagnostics_path=diag_path,
+            telemetry_path=telem_path,
+            telemetry_summary_path=summary_path,
+            map_snapshot_paths=map_paths,
+            num_frames=self._frame_count,
+            num_keyframes=len(self.keyframes),
+            num_failures=self._failure_count,
+            num_relocalizations=self._reloc_count,
+        )

@@ -1,0 +1,134 @@
+"""The fused per-frame tracking step — ONE device program per frame.
+
+This is the TPU answer to the reference's per-frame hot loop
+(``slam_api.py:204-325``, SURVEY §3.1): where the reference makes four
+sequential library calls per frame (ORB detect → BF match → RANSAC pose →
+triangulation checks), this module fuses detection, description, matching,
+dual-model RANSAC, and all gate statistics into a single jitted program.
+The host submits a frame, gets back the new frame's (device-resident)
+features plus a small scalar bundle — one host↔device round trip per
+frame, which matters doubly when the chip sits behind a network tunnel.
+
+Dynamic control flow (pose-chain update, keyframe policy, relocalization)
+stays on the host, per the design stance of SURVEY §7.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mvslam_tpu.frontend.feature_pipeline import FeaturePipelineConfig, FeatureSet
+from mvslam_tpu.frontend.pose_estimator import (
+    DevicePoseResult,
+    RobustPoseEstimatorConfig,
+    estimate_pose_device,
+)
+from mvslam_tpu.ops.brief import BriefConfig, describe_keypoints
+from mvslam_tpu.ops.fast import FastConfig, detect_keypoints
+from mvslam_tpu.ops.hamming import (
+    MatchConfig,
+    gather_matched_points,
+    match_descriptors,
+    select_matches,
+)
+from mvslam_tpu.ops.image import gaussian_blur, rgb_to_gray
+
+
+class TrackResult(NamedTuple):
+    """Per-frame device outputs (small: one cheap transfer per frame)."""
+
+    pose: DevicePoseResult
+    matched_p1: jnp.ndarray  # (M, 2) pixel coords in prev frame
+    matched_p2: jnp.ndarray  # (M, 2) pixel coords in new frame
+    match_mask: jnp.ndarray  # (M,) bool
+    match_distances: jnp.ndarray  # (M,)
+    num_matches: jnp.ndarray  # () int32
+    num_features: jnp.ndarray  # () int32 valid keypoints in new frame
+
+
+def _configs(feature_config: FeaturePipelineConfig):
+    fast = FastConfig(threshold=feature_config.fast_threshold, grid_cells=feature_config.grid_cells)
+    brief = BriefConfig(blur_sigma=feature_config.blur_sigma)
+    match = MatchConfig(
+        ratio=feature_config.ratio,
+        cross_check=feature_config.cross_check,
+        use_ratio_test=feature_config.use_ratio_test,
+    )
+    return fast, brief, match
+
+
+@partial(jax.jit, static_argnames=("feature_config",))
+def bootstrap_frame(frame: jnp.ndarray, feature_config: FeaturePipelineConfig) -> FeatureSet:
+    """Detect+describe the first frame (no previous frame to track against)."""
+    fast, brief, _ = _configs(feature_config)
+    gray = rgb_to_gray(frame)
+    xy, scores, valid = detect_keypoints(gray, num_keypoints=feature_config.num_features, config=fast)
+    blurred = gaussian_blur(gray, sigma=brief.blur_sigma, radius=brief.blur_radius)
+    desc, angles = describe_keypoints(blurred, xy, valid, config=brief)
+    return FeatureSet(xy, scores, desc, angles, valid)
+
+
+@partial(jax.jit, static_argnames=("feature_config", "pose_config"))
+def track_frame(
+    key,
+    prev_features: FeatureSet,
+    frame: jnp.ndarray,
+    K: jnp.ndarray,
+    feature_config: FeaturePipelineConfig,
+    pose_config: RobustPoseEstimatorConfig,
+) -> Tuple[FeatureSet, TrackResult]:
+    """Fused: detect+describe new frame, match vs prev, dual-model pose.
+
+    Returns the new frame's FeatureSet (stays device-resident, feeds the
+    next call) and a TrackResult of per-frame statistics.
+    """
+    fast, brief, match_cfg = _configs(feature_config)
+    gray = rgb_to_gray(frame)
+    xy, scores, valid = detect_keypoints(gray, num_keypoints=feature_config.num_features, config=fast)
+    blurred = gaussian_blur(gray, sigma=brief.blur_sigma, radius=brief.blur_radius)
+    desc, angles = describe_keypoints(blurred, xy, valid, config=brief)
+    features = FeatureSet(xy, scores, desc, angles, valid)
+
+    result = match_descriptors(prev_features.descriptors, prev_features.valid, desc, valid, match_cfg)
+    selected = select_matches(result, max_matches=feature_config.max_matches)
+    p1, p2 = gather_matched_points(prev_features.xy, xy, selected)
+
+    pose = estimate_pose_device(key, p1, p2, selected.valid, K, pose_config)
+    track = TrackResult(
+        pose=pose,
+        matched_p1=p1,
+        matched_p2=p2,
+        match_mask=selected.valid,
+        match_distances=selected.distances,
+        num_matches=selected.num_valid.astype(jnp.int32),
+        num_features=jnp.sum(valid).astype(jnp.int32),
+    )
+    return features, track
+
+
+def pull_scalars(track: TrackResult) -> dict:
+    """One small host transfer: every scalar the host control flow needs."""
+    pose = track.pose
+    bundle = jax.device_get(
+        {
+            "rotation": pose.rotation,
+            "translation": pose.translation,
+            "use_essential": pose.use_essential,
+            "num_inliers": pose.num_inliers,
+            "inlier_ratio": pose.inlier_ratio,
+            "median_parallax_deg": pose.median_parallax_deg,
+            "cheirality_ratio": pose.cheirality_ratio,
+            "score": pose.score,
+            "essential_score": pose.essential_score,
+            "homography_score": pose.homography_score,
+            "median_displacement_px": pose.median_displacement_px,
+            "num_matches": track.num_matches,
+            "num_features": track.num_features,
+            "num_valid_matches": pose.num_valid_matches,
+        }
+    )
+    return bundle

@@ -8,7 +8,8 @@ import os
 import sys
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The axon kernel env presets JAX_PLATFORMS=axon — override, don't setdefault.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -17,6 +18,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax  # noqa: E402
 
-# The axon TPU plugin registers itself regardless of JAX_PLATFORMS; the
-# config flag is authoritative, so set it too.
-jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+# jax is pre-imported by the axon sitecustomize before conftest runs, so the
+# env var alone isn't authoritative; the config flag is read at backend init.
+jax.config.update("jax_platforms", "cpu")

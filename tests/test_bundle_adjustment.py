@@ -1,0 +1,138 @@
+"""Bundle adjustment + optimization supervisor tests (reference parity:
+tests/test_algorithmic_stability_gates.py, optimization control tests)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mvslam_tpu.backend.bundle_adjustment import (
+    BundleAdjustmentConfig,
+    Observation,
+    run_bundle_adjustment,
+    triangulate_points,
+)
+from mvslam_tpu.backend.optimization_control import (
+    OptimizationControlConfig,
+    OptimizationSupervisor,
+)
+from mvslam_tpu.backend.pose_graph import PoseGraph
+from mvslam_tpu.backend.solvers import SolverConfig
+from mvslam_tpu.geometry.lie import se3_matrix, so3_exp
+
+
+def synthetic_ba_problem(W=4, P=40, noise_px=0.5, pose_noise=0.02, seed=0):
+    rng = np.random.default_rng(seed)
+    K = np.array([[400.0, 0, 160], [0, 400.0, 120], [0, 0, 1]])
+    points = np.stack(
+        [rng.uniform(-3, 3, P), rng.uniform(-2, 2, P), rng.uniform(6, 14, P)], axis=1
+    )
+    poses_true = []
+    for w in range(W):
+        R = np.asarray(so3_exp(jnp.asarray([0.0, 0.02 * w, 0.0], dtype=jnp.float64)))
+        t = np.array([0.5 * w, 0.0, 0.0])
+        poses_true.append(np.asarray(se3_matrix(jnp.asarray(R), jnp.asarray(t))))
+    poses_true = np.stack(poses_true)
+
+    observations = []
+    for w in range(W):
+        T_cw = np.linalg.inv(poses_true[w])
+        cam = points @ T_cw[:3, :3].T + T_cw[:3, 3]
+        uv = (cam[:, :2] / cam[:, 2:]) * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
+        uv += rng.normal(scale=noise_px, size=uv.shape)
+        for p in range(P):
+            observations.append(Observation(w, p, uv[p]))
+
+    poses_init = poses_true.copy()
+    for w in range(2, W):  # first two poses fix the gauge
+        poses_init[w][:3, 3] += rng.normal(scale=pose_noise, size=3)
+    points_init = points + rng.normal(scale=0.05, size=points.shape)
+    return poses_true, poses_init, points, points_init, observations, K
+
+
+class TestBundleAdjustment:
+    def test_reduces_reprojection_cost(self):
+        poses_true, poses_init, pts_true, pts_init, obs, K = synthetic_ba_problem()
+        result = run_bundle_adjustment(
+            poses_init, pts_init, obs, K, BundleAdjustmentConfig(max_iterations=8)
+        )
+        d = result.diagnostics
+        assert not d.conditioning_tripped
+        assert d.final_cost < d.initial_cost * 0.5
+        # Poses move toward truth.
+        err_before = np.linalg.norm(poses_init[2:, :3, 3] - poses_true[2:, :3, 3])
+        err_after = np.linalg.norm(result.poses[2:, :3, 3] - poses_true[2:, :3, 3])
+        assert err_after < err_before
+
+    def test_anchored_poses_fixed(self):
+        _, poses_init, _, pts_init, obs, K = synthetic_ba_problem()
+        result = run_bundle_adjustment(poses_init, pts_init, obs, K)
+        assert np.allclose(result.poses[0], poses_init[0], atol=1e-6)
+        # Gauge: pose 1's camera-frame translation (the scale pin) is fixed.
+        t_cw_before = np.linalg.inv(poses_init[1])[:3, 3]
+        t_cw_after = np.linalg.inv(result.poses[1])[:3, 3]
+        assert np.allclose(t_cw_after, t_cw_before, atol=1e-5)
+
+    def test_empty_observations_noop(self):
+        poses = np.stack([np.eye(4)] * 3)
+        result = run_bundle_adjustment(poses, np.zeros((0, 3)), [], np.eye(3))
+        assert result.diagnostics.converged
+        assert np.allclose(result.poses, poses)
+
+    def test_triangulate_points(self):
+        poses_true, _, pts_true, _, obs, K = synthetic_ba_problem(noise_px=0.0)
+        uv1 = np.stack([o.uv for o in obs if o.pose_index == 0])
+        uv2 = np.stack([o.uv for o in obs if o.pose_index == 3])
+        X = triangulate_points(poses_true[0], poses_true[3], uv1, uv2, K)
+        assert np.abs(X - pts_true).max() < 0.1
+
+
+class TestOptimizationSupervisor:
+    def _graph(self, seed=0):
+        rng = np.random.default_rng(seed)
+        g = PoseGraph()
+        for _ in range(12):
+            g.add_pose(np.asarray([1.0, 0, 0.15]) + rng.normal(scale=0.03, size=3))
+        g.add_loop(0, 12, np.zeros(3), weight=5.0)
+        return g
+
+    def test_supervised_solve(self):
+        sup = OptimizationSupervisor(clock=lambda: 0.0)
+        g = self._graph()
+        g.supervisor = sup
+        result = g.optimize(SolverConfig(max_iterations=15, damping=1e-4))
+        assert result.final_cost < result.initial_cost
+        report = sup.last_report
+        assert report.attempts >= 1
+        assert not report.conditioning_tripped
+        assert report.snapshot.digest
+        health = sup.health_snapshot()
+        assert health["runs"] == 1
+        assert health["event_digest"]
+
+    def test_conditioning_gate_trips(self):
+        cfg = OptimizationControlConfig(max_condition_number=1.0)  # impossible
+        sup = OptimizationSupervisor(cfg, clock=lambda: 0.0)
+        g = self._graph()
+        problem = g._build_graph().build_problem()
+        result = sup.run(problem, "gauss_newton", SolverConfig())
+        assert result.status == -2
+        assert np.allclose(result.x, np.asarray(problem.x0))
+        assert sup.last_report.conditioning_tripped
+
+    def test_regression_gate(self):
+        sup = OptimizationSupervisor(clock=lambda: 0.0)
+        problem = self._graph()._build_graph().build_problem()
+        sup.run(problem, "gauss_newton", SolverConfig(max_iterations=15, damping=1e-4))
+        assert sup.last_report.regression.status == "no_baseline"
+        sup.run(problem, "gauss_newton", SolverConfig(max_iterations=15, damping=1e-4))
+        assert sup.last_report.regression.status == "pass"
+
+    def test_event_digest_deterministic(self):
+        def run_once():
+            sup = OptimizationSupervisor(clock=lambda: 0.0)
+            problem = self._graph(seed=2)._build_graph().build_problem()
+            sup.run(problem, "gauss_newton", SolverConfig(max_iterations=10, damping=1e-4))
+            return sup.health_snapshot()["event_digest"]
+
+        assert run_once() == run_once()

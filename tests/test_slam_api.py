@@ -1,0 +1,150 @@
+"""SLAMSystem end-to-end tests on synthetic data (reference test parity:
+tests/test_slam_api.py, tests/test_slam_runner.py)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from mvslam_tpu.backend.keyframes import KeyframeConfig, KeyframeManager
+from mvslam_tpu.frontend.feature_pipeline import FeaturePipelineConfig
+from mvslam_tpu.frontend.pose_estimator import RobustPoseEstimatorConfig
+from mvslam_tpu.slam.api import SLAMSystem, SLAMSystemConfig
+
+
+def make_sequence(num_frames=6, h=128, w=192, shift=5, seed=0):
+    """Texture translated `shift` px/frame — a synthetic dolly move."""
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(0, 30, size=(h, w + shift * num_frames)).astype(np.float32)
+    for _ in range(120):
+        y = rng.integers(25, h - 30)
+        x = rng.integers(25, base.shape[1] - 30)
+        s = rng.integers(3, 8)
+        base[y : y + s, x : x + s] = rng.uniform(140, 255)
+    return [base[:, i * shift : i * shift + w].copy() for i in range(num_frames)]
+
+
+def small_config(tmp_path, **kw):
+    defaults = dict(
+        run_id="test",
+        output_root=tmp_path,
+        seed=7,
+        fx=120.0,
+        fy=120.0,
+        cx=96.0,
+        cy=64.0,
+        feature=FeaturePipelineConfig(num_features=256, max_matches=128),
+        pose=RobustPoseEstimatorConfig(num_hypotheses=128),
+        keyframe=KeyframeConfig(min_translation=0.05),
+    )
+    defaults.update(kw)
+    return SLAMSystemConfig(**defaults)
+
+
+class TestSLAMSystem:
+    def test_run_sequence_produces_trajectory(self, tmp_path):
+        system = SLAMSystem(small_config(tmp_path))
+        frames = make_sequence()
+        diags = system.run_sequence(frames)
+        assert len(diags) == 6
+        assert diags[0].model_type == "bootstrap"
+        successes = [d for d in diags[1:] if d.pose_success]
+        assert len(successes) >= 4
+        result = system.finalize_run()
+        assert result.num_frames == 6
+        assert result.trajectory_path.exists()
+        assert result.metrics_path.exists()
+        assert result.diagnostics_path.exists()
+        assert result.telemetry_path.exists()
+        loaded = system.store.load_trajectory("estimated")
+        assert loaded["poses"].shape == (6, 4, 4)
+        assert loaded["determinism"]["seed"] == 7
+        # Camera should move (unit-scale steps chained).
+        assert np.linalg.norm(loaded["poses"][-1][:3, 3]) > 0.5
+
+    def test_blank_frames_graceful_degradation(self, tmp_path):
+        """Parity with reference tests/test_slam_api.py:22-52."""
+        system = SLAMSystem(small_config(tmp_path))
+        frames = [np.zeros((128, 192), dtype=np.float32)] * 3
+        diags = system.run_sequence(frames)
+        assert not diags[1].pose_success
+        assert diags[1].failure_reason == "insufficient_matches"
+        result = system.finalize_run()
+        assert result.num_failures == 2
+        assert result.trajectory_path.exists()
+
+    def test_inject_tracking_loss(self, tmp_path):
+        system = SLAMSystem(small_config(tmp_path, enable_relocalization=False))
+        system.inject_tracking_loss(2)
+        diags = system.run_sequence(make_sequence())
+        assert diags[2].injected_loss
+        assert not diags[2].pose_success
+        assert diags[2].failure_reason == "injected_tracking_loss"
+        assert diags[3].pose_success  # recovers on next frame
+
+    def test_keyframes_accumulate(self, tmp_path):
+        system = SLAMSystem(small_config(tmp_path))
+        system.run_sequence(make_sequence())
+        assert len(system.keyframes) >= 2
+        kf = system.keyframes.keyframes[0]
+        assert kf.keypoints.shape[1] == 2
+        assert kf.descriptors.shape[1] == 8
+
+    def test_deterministic_across_runs(self, tmp_path):
+        frames = make_sequence(seed=4)
+        sysa = SLAMSystem(small_config(tmp_path / "a"))
+        sysa.run_sequence(frames)
+        ra = sysa.finalize_run()
+        sysb = SLAMSystem(small_config(tmp_path / "b"))
+        sysb.run_sequence(frames)
+        rb = sysb.finalize_run()
+        pa = sysa.store.load_trajectory("estimated")["poses"]
+        pb = sysb.store.load_trajectory("estimated")["poses"]
+        assert np.array_equal(pa, pb)
+
+    def test_telemetry_stages_recorded(self, tmp_path):
+        system = SLAMSystem(small_config(tmp_path))
+        system.run_sequence(make_sequence(num_frames=3))
+        names = {e.name for e in system.telemetry.events()}
+        assert {"frame_process", "track_step"} <= names
+
+    def test_diagnostics_json_schema(self, tmp_path):
+        system = SLAMSystem(small_config(tmp_path))
+        system.run_sequence(make_sequence(num_frames=3))
+        result = system.finalize_run()
+        records = json.loads(result.diagnostics_path.read_text())
+        assert len(records) == 3
+        for key in ("frame_id", "num_matches", "pose_success", "is_keyframe", "correlation_id"):
+            assert key in records[0]
+
+
+class TestKeyframeManager:
+    def test_policy_thresholds(self):
+        mgr = KeyframeManager(KeyframeConfig(min_translation=0.1, min_rotation_deg=5.0, max_match_ratio=0.25))
+        pose = np.eye(4)
+        kp = np.zeros((4, 2), np.float32)
+        desc = np.zeros((4, 8), np.uint32)
+        valid = np.ones(4, bool)
+        assert mgr.maybe_add(0, 0.0, pose, 1.0, kp, desc, valid) is not None  # first is always KF
+        # Small motion, good matches → no keyframe
+        near = pose.copy()
+        near[0, 3] = 0.01
+        assert mgr.maybe_add(1, 0.1, near, 0.9, kp, desc, valid) is None
+        # Large translation → keyframe
+        far = pose.copy()
+        far[0, 3] = 0.5
+        assert mgr.maybe_add(2, 0.2, far, 0.9, kp, desc, valid) is not None
+        # Bad match ratio → keyframe
+        assert mgr.maybe_add(3, 0.3, far, 0.1, kp, desc, valid) is not None
+
+    def test_window(self):
+        mgr = KeyframeManager(KeyframeConfig(window_size=3))
+        kp = np.zeros((1, 2), np.float32)
+        desc = np.zeros((1, 8), np.uint32)
+        valid = np.ones(1, bool)
+        for i in range(5):
+            pose = np.eye(4)
+            pose[0, 3] = i
+            mgr.maybe_add(i, float(i), pose, 0.9, kp, desc, valid)
+        assert len(mgr.window()) == 3
+        assert mgr.window()[-1].frame_id == mgr.last.frame_id
