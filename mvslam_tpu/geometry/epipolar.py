@@ -17,8 +17,10 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
+from mvslam_tpu.geometry.linalg import smallest_eigvec_psd
 from mvslam_tpu.geometry.projection import hartley_normalization
 
 
@@ -29,12 +31,12 @@ def _homogeneous(pts: jnp.ndarray) -> jnp.ndarray:
 def _smallest_singular_vector(A: jnp.ndarray) -> jnp.ndarray:
     """Right singular vector of A with the smallest singular value.
 
-    Uses eigh on AᵀA (symmetric, ascending eigenvalues) — cheaper and more
-    batch-friendly on TPU than full SVD of a tall matrix.
+    Cholesky inverse iteration on AᵀA (see ``geometry.linalg``) — far
+    faster than eigh/svd for the thousands of tiny systems in a RANSAC
+    hypothesis batch.
     """
     AtA = jnp.swapaxes(A, -1, -2) @ A
-    _, V = jnp.linalg.eigh(AtA)
-    return V[..., :, 0]
+    return smallest_eigvec_psd(AtA)
 
 
 def eight_point_essential(

@@ -82,10 +82,12 @@ def triangulate_dlt(
         return jnp.stack([r1, r2], axis=1)  # (N, 2, 4) via broadcasting
 
     A = jnp.concatenate([rows(P1, pts1), rows(P2, pts2)], axis=1)  # (N, 4, 4)
-    # Smallest right singular vector of each A: eigvec of AᵀA with min eigval.
+    # Smallest right singular vector of each A via batched Cholesky inverse
+    # iteration (one tiny 4x4 system per correspondence — see geometry.linalg).
+    from mvslam_tpu.geometry.linalg import smallest_eigvec_psd
+
     AtA = jnp.swapaxes(A, -1, -2) @ A
-    w, V = jnp.linalg.eigh(AtA)
-    X = V[..., :, 0]  # eigh sorts ascending → first column
+    X = smallest_eigvec_psd(AtA)
     w_component = X[..., 3]
     scale = jnp.where(jnp.abs(w_component) < 1e-12, 1e-12, w_component)
     return X[..., :3] / scale[..., None]

@@ -1,17 +1,24 @@
-"""Oriented BRIEF (rBRIEF-style) descriptors as fixed-shape gather kernels.
+"""Oriented BRIEF (rBRIEF-style) descriptors as patch-matmul MXU kernels.
 
 Replaces the cv2 ORB description stage (``feature_pipeline.py.bak:64-77``).
-Orientation uses the classic intensity-centroid moment over a radius-15
-circular patch; descriptors are 256 brightness comparisons of a
-*steered* (rotated) sampling pattern, bit-packed into ``(N, 8)`` uint32
-words for compact map storage and XOR/popcount matching.
 
-The sampling pattern is generated once at import from a fixed-seed
-Gaussian (σ = patch/5, the BRIEF-recommended distribution) rather than a
-hand-copied table — deterministic across runs and platforms.
+TPU redesign rationale: per-pixel gathers are the slowest primitive on the
+chip (measured ~17 ms/frame for naive per-point sampling), while matmuls
+are nearly free. So description is reformulated as **one patch extraction
++ one matmul**:
 
-All functions take padded keypoint arrays + validity masks and are
-shape-static, so they vmap over frames and jit cleanly.
+1. one 31x31 patch per keypoint via vmapped ``lax.dynamic_slice``
+   (contiguous rows — the only gather-ish op left);
+2. intensity-centroid orientation = ``patches @ moment_vectors`` (961x2);
+3. steering is quantised to 32 discrete angles; for every bin the 256
+   comparisons ``I(p2) − I(p1)`` become a static ±1 one-hot bank, so ALL
+   bins for ALL keypoints are ``patches (N,961) @ bank (961, 32·256)`` on
+   the systolic array, and each keypoint selects its bin's 256 columns;
+4. sign → bits → packed ``(N, 8)`` uint32 words.
+
+The sampling pattern is a fixed-seed Gaussian (σ = patch/5, BRIEF's
+recommended distribution) constrained to the radius-14 disk so every
+rotation stays inside the patch. Deterministic across runs/platforms.
 """
 
 from __future__ import annotations
@@ -25,27 +32,56 @@ import jax.numpy as jnp
 import numpy as np
 
 PATCH_RADIUS = 15
+PATCH_SIZE = 2 * PATCH_RADIUS + 1  # 31
+PATCH_PIXELS = PATCH_SIZE * PATCH_SIZE  # 961
 NUM_PAIRS = 256
+NUM_ANGLE_BINS = 32
 _PATTERN_SEED = 0x5EED
+_MAX_OFFSET_NORM = 14.0  # rotations stay inside the 31x31 patch
 
 
 def _make_pattern() -> np.ndarray:
-    """(NUM_PAIRS, 2, 2) int32 pattern: pairs of (dx, dy) offsets."""
+    """(NUM_PAIRS, 2, 2) float: pairs of (dx, dy) offsets within the disk."""
     rng = np.random.default_rng(_PATTERN_SEED)
-    sigma = PATCH_RADIUS / 5.0 * 2.0  # BRIEF G(0, S²/25) with S=2R
+    sigma = PATCH_RADIUS / 5.0 * 2.0
     pts = rng.normal(0.0, sigma, size=(NUM_PAIRS, 2, 2))
-    pts = np.clip(np.round(pts), -(PATCH_RADIUS - 1), PATCH_RADIUS - 1)
-    return pts.astype(np.int32)
+    norms = np.linalg.norm(pts, axis=-1, keepdims=True)
+    over = norms > _MAX_OFFSET_NORM
+    pts = np.where(over, pts * (_MAX_OFFSET_NORM / np.maximum(norms, 1e-9)), pts)
+    return pts
 
 
-_PATTERN = _make_pattern()  # (256, 2, 2) as (pair, endpoint, (dx, dy))
+_PATTERN = _make_pattern()
 
-# Circular patch offsets for the intensity centroid (radius 15).
+# Moment vectors over the circular radius-15 patch (for orientation).
 _cy, _cx = np.mgrid[-PATCH_RADIUS : PATCH_RADIUS + 1, -PATCH_RADIUS : PATCH_RADIUS + 1]
-_circle_mask = (_cx**2 + _cy**2) <= PATCH_RADIUS**2
-_MOMENT_DX = _cx[_circle_mask].astype(np.float32)
-_MOMENT_DY = _cy[_circle_mask].astype(np.float32)
-_MOMENT_OFFSETS = np.stack([_cx[_circle_mask], _cy[_circle_mask]], axis=-1).astype(np.int32)
+_circle = ((_cx**2 + _cy**2) <= PATCH_RADIUS**2).astype(np.float32)
+_MOMENTS = np.stack(
+    [(_cx * _circle).reshape(-1), (_cy * _circle).reshape(-1)], axis=1
+)  # (961, 2) → m10, m01
+
+
+def _build_comparison_bank() -> np.ndarray:
+    """(961, NUM_ANGLE_BINS * NUM_PAIRS) ±1 bank: column (b, j) computes
+    I(p2_j rotated by angle_b) − I(p1_j rotated by angle_b)."""
+    bank = np.zeros((PATCH_PIXELS, NUM_ANGLE_BINS, NUM_PAIRS), dtype=np.float32)
+    for b in range(NUM_ANGLE_BINS):
+        ang = 2.0 * np.pi * b / NUM_ANGLE_BINS
+        c, s = np.cos(ang), np.sin(ang)
+        rot = np.stack([c * _PATTERN[..., 0] - s * _PATTERN[..., 1],
+                        s * _PATTERN[..., 0] + c * _PATTERN[..., 1]], axis=-1)
+        ri = np.clip(np.round(rot), -PATCH_RADIUS, PATCH_RADIUS).astype(np.int64)
+        for j in range(NUM_PAIRS):
+            x1, y1 = ri[j, 0]
+            x2, y2 = ri[j, 1]
+            idx1 = (y1 + PATCH_RADIUS) * PATCH_SIZE + (x1 + PATCH_RADIUS)
+            idx2 = (y2 + PATCH_RADIUS) * PATCH_SIZE + (x2 + PATCH_RADIUS)
+            bank[idx2, b, j] += 1.0
+            bank[idx1, b, j] -= 1.0
+    return bank.reshape(PATCH_PIXELS, NUM_ANGLE_BINS * NUM_PAIRS)
+
+
+_COMPARISON_BANK = _build_comparison_bank()
 
 
 @dataclass(frozen=True)
@@ -54,46 +90,39 @@ class BriefConfig:
     blur_radius: int = 4
 
 
-def _gather_pixels(image: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray) -> jnp.ndarray:
-    """Clamped integer gather from an (H, W) image; xs/ys any shape."""
-    h, w = image.shape
-    xs = jnp.clip(xs, 0, w - 1)
-    ys = jnp.clip(ys, 0, h - 1)
-    flat = image.reshape(-1)
-    return flat[ys * w + xs]
+def extract_patches(image: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """(N, 961) flattened 31x31 patches around integer keypoint locations.
 
-
-def compute_orientations(image: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """Intensity-centroid orientation per keypoint.
-
-    image: (H, W) float32 (blurred). xy: (N, 2) as (x, y). Returns (N,)
-    angles in radians. The rotated-BRIEF steering angle of ORB.
+    ``lax.dynamic_slice`` clamps starts near borders; detection's border
+    margin keeps real keypoints fully interior, so clamping only affects
+    masked padding slots.
     """
-    xi = xy[:, 0].astype(jnp.int32)  # (N,)
-    yi = xy[:, 1].astype(jnp.int32)
-    off = jnp.asarray(_MOMENT_OFFSETS)  # (P, 2)
-    px = xi[:, None] + off[None, :, 0]  # (N, P)
-    py = yi[:, None] + off[None, :, 1]
-    vals = _gather_pixels(image, px, py)  # (N, P)
-    m10 = jnp.sum(vals * jnp.asarray(_MOMENT_DX)[None, :], axis=1)
-    m01 = jnp.sum(vals * jnp.asarray(_MOMENT_DY)[None, :], axis=1)
-    angle = jnp.arctan2(m01, m10)
+    xi = xy[:, 0].astype(jnp.int32) - PATCH_RADIUS
+    yi = xy[:, 1].astype(jnp.int32) - PATCH_RADIUS
+
+    def one(yy, xx):
+        return jax.lax.dynamic_slice(image, (yy, xx), (PATCH_SIZE, PATCH_SIZE))
+
+    patches = jax.vmap(one)(yi, xi)
+    return patches.reshape(xy.shape[0], PATCH_PIXELS)
+
+
+def orientations_from_patches(patches: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Intensity-centroid angle per patch: atan2(m01, m10)."""
+    m = jax.lax.dot_general(
+        patches.astype(jnp.bfloat16),
+        jnp.asarray(_MOMENTS, jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    angle = jnp.arctan2(m[:, 1], m[:, 0])
     return jnp.where(valid, angle, 0.0)
 
 
-def _rotated_pattern(angles: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Steer the pattern by each keypoint's angle.
-
-    Returns integer (N, 256, 2, 2) offsets split as (dx, dy) int32 arrays.
-    """
-    c = jnp.cos(angles)[:, None, None]
-    s = jnp.sin(angles)[:, None, None]
-    pat = jnp.asarray(_PATTERN, dtype=jnp.float32)  # (256, 2, 2)
-    dx = pat[None, ..., 0]
-    dy = pat[None, ..., 1]
-    rx = jnp.round(c * dx - s * dy).astype(jnp.int32)
-    ry = jnp.round(s * dx + c * dy).astype(jnp.int32)
-    return rx, ry  # each (N, 256, 2)
+def compute_orientations(image: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Standalone orientation API (re-extracts patches)."""
+    return orientations_from_patches(extract_patches(image, xy), valid)
 
 
 def _pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
@@ -120,19 +149,31 @@ def describe_keypoints(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Steered-BRIEF descriptors for padded keypoints.
 
-    image: (H, W) float32 **already blurred** by the caller (so one blur
-    serves detection diagnostics and description). Returns
+    image: (H, W) float32 **already blurred** by the caller. Returns
     ``(descriptors (N, 8) uint32, angles (N,) float32)``. Invalid slots
     hold zero descriptors.
     """
-    angles = compute_orientations(image, xy, valid)
-    rx, ry = _rotated_pattern(angles)  # (N, 256, 2)
-    xi = xy[:, 0].astype(jnp.int32)[:, None, None]
-    yi = xy[:, 1].astype(jnp.int32)[:, None, None]
-    px = xi + rx
-    py = yi + ry
-    vals = _gather_pixels(image, px, py)  # (N, 256, 2)
-    bits = vals[..., 0] < vals[..., 1]  # (N, 256)
+    patches = extract_patches(image, xy)  # (N, 961)
+    angles = orientations_from_patches(patches, valid)
+    # Quantise the steering angle to one of NUM_ANGLE_BINS rotations.
+    two_pi = 2.0 * jnp.pi
+    frac = jnp.mod(angles, two_pi) / two_pi
+    bins = jnp.clip(
+        jnp.round(frac * NUM_ANGLE_BINS).astype(jnp.int32) % NUM_ANGLE_BINS,
+        0,
+        NUM_ANGLE_BINS - 1,
+    )
+    # All comparisons for all bins in ONE matmul on the MXU.
+    resp = jax.lax.dot_general(
+        patches.astype(jnp.bfloat16),
+        jnp.asarray(_COMPARISON_BANK, jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )  # (N, 32*256)
+    resp = resp.reshape(xy.shape[0], NUM_ANGLE_BINS, NUM_PAIRS)
+    chosen = jnp.take_along_axis(resp, bins[:, None, None], axis=1)[:, 0, :]
+    bits = chosen > 0.0
     packed = _pack_bits(bits)
     packed = jnp.where(valid[:, None], packed, jnp.uint32(0))
     return packed, angles

@@ -76,10 +76,13 @@ def match_descriptors(
     d = jnp.where(valid2[None, :], d, _BIG)
     d = jnp.where(valid1[:, None], d, _BIG)
 
-    neg_top2, idx_top2 = jax.lax.top_k(-d, 2)
-    best = -neg_top2[:, 0]
-    second = -neg_top2[:, 1]
-    best_idx = idx_top2[:, 0]
+    # Best + runner-up via two min/argmin passes — plain VPU reductions,
+    # much cheaper on TPU than lax.top_k over the full N x M matrix.
+    best_idx = jnp.argmin(d, axis=1)
+    best = jnp.take_along_axis(d, best_idx[:, None], axis=1)[:, 0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    d_masked = jnp.where(cols == best_idx[:, None], _BIG, d)
+    second = jnp.min(d_masked, axis=1)
 
     ok = valid1 & (best < config.max_distance) & (best < _BIG * 0.5)
     if config.use_ratio_test:

@@ -37,32 +37,25 @@ def _gaussian_kernel(sigma: float, radius: int) -> np.ndarray:
 def gaussian_blur(image: jnp.ndarray, sigma: float = 1.0, radius: int = 2) -> jnp.ndarray:
     """Separable Gaussian blur over the trailing (H, W) axes (batched).
 
-    Replaces the GaussianBlur cv2 performs inside ORB before BRIEF
-    sampling. ``sigma``/``radius`` are static so the kernel constant-folds.
+    Implemented as shifted weighted sums (``jnp.roll``) rather than
+    ``conv_general_dilated``: XLA's TPU conv path pads single-channel
+    images up to full MXU tiles (measured ~13 ms/frame), while 2·(2r+1)
+    VPU roll-multiply-adds stream the image at HBM speed. ``sigma`` /
+    ``radius`` are static so the taps constant-fold.
     """
-    kernel = jnp.asarray(_gaussian_kernel(sigma, radius))
-    batched = image.ndim == 3
-    img = image if batched else image[None]
-    img = img.astype(jnp.float32)
+    kernel = _gaussian_kernel(sigma, radius)
+    img = image.astype(jnp.float32)
 
-    pad = radius
-    padded = jnp.pad(img, ((0, 0), (pad, pad), (0, 0)), mode="edge")
-    rows = jax.lax.conv_general_dilated(
-        padded[:, None, :, :],
-        kernel.reshape(1, 1, -1, 1),
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[:, 0]
-    padded = jnp.pad(rows, ((0, 0), (0, 0), (pad, pad)), mode="edge")
-    cols = jax.lax.conv_general_dilated(
-        padded[:, None, :, :],
-        kernel.reshape(1, 1, 1, -1),
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[:, 0]
-    return cols if batched else cols[0]
+    def sweep(x, axis):
+        acc = kernel[radius] * x
+        for k in range(1, radius + 1):
+            acc = acc + kernel[radius + k] * jnp.roll(x, -k, axis=axis)
+            acc = acc + kernel[radius - k] * jnp.roll(x, k, axis=axis)
+        return acc
+
+    # Roll wraps at borders (vs cv2's edge replication) — only the outer
+    # ``radius`` pixels differ, all inside the detector's border margin.
+    return sweep(sweep(img, -2), -1)
 
 
 def downsample2(image: jnp.ndarray) -> jnp.ndarray:

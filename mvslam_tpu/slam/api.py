@@ -24,6 +24,7 @@ from pathlib import Path
 from typing import Any, Dict, Iterable, List, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from mvslam_tpu.backend.keyframes import Keyframe, KeyframeConfig, KeyframeManager
@@ -196,7 +197,7 @@ class SLAMSystem:
                 diag.num_features = num_feat
                 diag.pose_success = True
                 diag.model_type = "bootstrap"
-                self._record_pose(frame_id, timestamp, diag, match_ratio=1.0)
+                self._record_frame(frame_id, timestamp, diag, 1.0, self._prev_features)
                 return diag
 
             key = jax.random.fold_in(self._track_key, frame_id)
@@ -211,68 +212,78 @@ class SLAMSystem:
                 )
                 scalars = pull_scalars(track)
 
-            diag.num_features = int(scalars["num_features"])
-            diag.num_matches = int(scalars["num_matches"])
-            diag.num_inliers = int(scalars["num_inliers"])
-            diag.inlier_ratio = float(scalars["inlier_ratio"])
-            diag.parallax = float(scalars["median_parallax_deg"])
-            diag.cheirality_ratio = float(scalars["cheirality_ratio"])
-            diag.model_type = "essential" if bool(scalars["use_essential"]) else "homography"
-
-            metrics = {
-                "num_matches": diag.num_matches,
-                "num_inliers": diag.num_inliers,
-                "inlier_ratio": diag.inlier_ratio,
-                "median_parallax_deg": diag.parallax,
-                "cheirality_ratio": diag.cheirality_ratio,
-                "score": float(scalars["score"]),
-                "median_displacement_px": float(scalars["median_displacement_px"]),
-            }
-
-            try:
-                if frame_id in self._injected_losses:
-                    diag.injected_loss = True
-                    raise PoseEstimationFailure("injected_tracking_loss", metrics=metrics)
-                with timed_event(self.telemetry, "pose_estimate", metadata={"frame_id": frame_id}):
-                    apply_stability_gates(self.config.pose, metrics)
-                R = np.asarray(scalars["rotation"], dtype=np.float64)
-                t = np.asarray(scalars["translation"], dtype=np.float64)
-                # X2 = R X1 + t ⇒ cam1→cam2; pose chain needs cam2 in world:
-                # T_w_c2 = T_w_c1 @ inv([R|t]).
-                rel = np.eye(4)
-                rel[:3, :3] = R.T
-                rel[:3, 3] = -R.T @ t
-                self._pose = self._pose @ rel
-                diag.pose_success = True
-            except PoseEstimationFailure as failure:
-                self._failure_count += 1
-                diag.pose_success = False
-                diag.failure_reason = failure.reason
-                logger.warning(
-                    "pose estimation failed",
-                    extra={"frame_id": frame_id, "reason": failure.reason},
-                )
-                if self.config.enable_relocalization:
-                    diag.relocalized = self._attempt_relocalization(frame_id, features, diag)
-
             self._prev_features = features
-            match_ratio = diag.num_matches / max(diag.num_features, 1)
-            self._record_pose(frame_id, timestamp, diag, match_ratio=match_ratio)
+            self._handle_tracked_frame(frame_id, timestamp, diag, scalars, features)
         return diag
 
-    def _record_pose(self, frame_id: int, timestamp: float, diag: FrameDiagnostics, match_ratio: float) -> None:
-        self.trajectory.append(frame_id, timestamp, self._pose)
-        if diag.pose_success and self._prev_features is not None:
-            kf = self.keyframes.maybe_add(
-                frame_id,
-                timestamp,
-                self._pose,
-                match_ratio,
-                np.asarray(self._prev_features.xy),
-                np.asarray(self._prev_features.descriptors),
-                np.asarray(self._prev_features.valid),
+    def _handle_tracked_frame(self, frame_id, timestamp, diag, scalars, features) -> None:
+        """Host control flow shared by the single-frame and windowed paths:
+        gates → pose chain update / failure + relocalization → keyframes."""
+        diag.num_features = int(scalars["num_features"])
+        diag.num_matches = int(scalars["num_matches"])
+        diag.num_inliers = int(scalars["num_inliers"])
+        diag.inlier_ratio = float(scalars["inlier_ratio"])
+        diag.parallax = float(scalars["median_parallax_deg"])
+        diag.cheirality_ratio = float(scalars["cheirality_ratio"])
+        diag.model_type = "essential" if bool(scalars["use_essential"]) else "homography"
+
+        metrics = {
+            "num_matches": diag.num_matches,
+            "num_inliers": diag.num_inliers,
+            "inlier_ratio": diag.inlier_ratio,
+            "median_parallax_deg": diag.parallax,
+            "cheirality_ratio": diag.cheirality_ratio,
+            "score": float(scalars["score"]),
+            "median_displacement_px": float(scalars["median_displacement_px"]),
+        }
+
+        try:
+            if frame_id in self._injected_losses:
+                diag.injected_loss = True
+                raise PoseEstimationFailure("injected_tracking_loss", metrics=metrics)
+            with timed_event(self.telemetry, "pose_estimate", metadata={"frame_id": frame_id}):
+                apply_stability_gates(self.config.pose, metrics)
+            R = np.asarray(scalars["rotation"], dtype=np.float64)
+            t = np.asarray(scalars["translation"], dtype=np.float64)
+            # X2 = R X1 + t ⇒ cam1→cam2; pose chain needs cam2 in world:
+            # T_w_c2 = T_w_c1 @ inv([R|t]).
+            rel = np.eye(4)
+            rel[:3, :3] = R.T
+            rel[:3, 3] = -R.T @ t
+            self._pose = self._pose @ rel
+            diag.pose_success = True
+        except PoseEstimationFailure as failure:
+            self._failure_count += 1
+            diag.pose_success = False
+            diag.failure_reason = failure.reason
+            logger.warning(
+                "pose estimation failed",
+                extra={"frame_id": frame_id, "reason": failure.reason},
             )
-            diag.is_keyframe = kf is not None
+            if self.config.enable_relocalization:
+                diag.relocalized = self._attempt_relocalization(frame_id, features, diag)
+
+        match_ratio = diag.num_matches / max(diag.num_features, 1)
+        self._record_frame(frame_id, timestamp, diag, match_ratio, features)
+
+    def _record_frame(
+        self, frame_id: int, timestamp: float, diag: FrameDiagnostics, match_ratio: float, features
+    ) -> None:
+        self.trajectory.append(frame_id, timestamp, self._pose)
+        if diag.pose_success and features is not None:
+            # Feature arrays are pulled from device only when the policy
+            # actually fires (cheap pre-check on pose + match ratio).
+            if self.keyframes.should_add(self._pose, match_ratio):
+                kf = self.keyframes.maybe_add(
+                    frame_id,
+                    timestamp,
+                    self._pose,
+                    match_ratio,
+                    np.asarray(features.xy),
+                    np.asarray(features.descriptors),
+                    np.asarray(features.valid),
+                )
+                diag.is_keyframe = kf is not None
         self.diagnostics.append(diag)
 
     def _on_keyframe_window(self, window: List[Keyframe]) -> None:
@@ -356,11 +367,69 @@ class SLAMSystem:
     # ------------------------------------------------------------------
 
     def run_sequence(
-        self, frames: Sequence[np.ndarray], timestamps: Optional[Sequence[float]] = None
+        self,
+        frames: Sequence[np.ndarray],
+        timestamps: Optional[Sequence[float]] = None,
+        window: int = 8,
     ) -> List[FrameDiagnostics]:
-        """Parity: ``slam_api.py:351-362``."""
+        """Batch-process frames with windowed device dispatch.
+
+        Parity: ``slam_api.py:351-362``; with ``window > 1`` each device
+        program tracks a whole window of consecutive pairs (one dispatch +
+        one scalar pull per window instead of per frame — the throughput
+        path on a network-tunneled chip). Per-frame RNG folds the global
+        frame id, so any window size produces the identical trajectory.
+        """
         ts = timestamps if timestamps is not None else [float(i) for i in range(len(frames))]
-        return [self.process_frame(f, t) for f, t in zip(frames, ts)]
+        if window <= 1 or len(frames) <= 1:
+            return [self.process_frame(f, t) for f, t in zip(frames, ts)]
+
+        from mvslam_tpu.slam.tracking import track_window
+
+        diags: List[FrameDiagnostics] = []
+        pos = 0
+        if self._prev_features is None:
+            diags.append(self.process_frame(frames[0], ts[0]))
+            pos = 1
+        while pos < len(frames):
+            chunk = [np.asarray(f) for f in frames[pos : pos + window]]
+            chunk_ts = ts[pos : pos + window]
+            real = len(chunk)
+            # Pad short tails to the window size (repeat last frame) so the
+            # device program never recompiles; padded outputs are ignored.
+            while len(chunk) < window:
+                chunk.append(chunk[-1])
+            start_id = self._frame_count
+            with timed_event(
+                self.telemetry, "track_window", metadata={"start": start_id, "size": real}
+            ):
+                frames_dev = jax.device_put(np.stack(chunk))
+                feats, track = track_window(
+                    self._track_key,
+                    self._prev_features,
+                    frames_dev,
+                    self._K_dev,
+                    self.config.feature,
+                    self.config.pose,
+                    start_index=jnp.asarray(start_id, dtype=jnp.int32),
+                )
+                bundle = pull_scalars(track)  # every field has leading dim B
+            for i in range(real):
+                frame_id = self._frame_count
+                self._frame_count += 1
+                diag = FrameDiagnostics(
+                    frame_id=frame_id,
+                    timestamp=float(chunk_ts[i]),
+                    correlation_id=self.correlations.correlation_id("frame_process"),
+                )
+                scalars_i = {k: v[i] for k, v in bundle.items()}
+                features_i = jax.tree.map(lambda a, idx=i: a[idx], feats)
+                with timed_event(self.telemetry, "frame_process", metadata={"frame_id": frame_id}):
+                    self._handle_tracked_frame(frame_id, chunk_ts[i], diag, scalars_i, features_i)
+                diags.append(diag)
+            self._prev_features = jax.tree.map(lambda a: a[real - 1], feats)
+            pos += real
+        return diags
 
     def run_stream(self, packets: Iterable[FramePacket]) -> List[FrameDiagnostics]:
         """Parity: ``slam_api.py:364-374``."""

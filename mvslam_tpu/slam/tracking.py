@@ -110,6 +110,69 @@ def track_frame(
     return features, track
 
 
+@partial(jax.jit, static_argnames=("feature_config", "pose_config"))
+def track_window(
+    key,
+    prev_features: FeatureSet,
+    frames: jnp.ndarray,  # (B, H, W) window of consecutive frames
+    K: jnp.ndarray,
+    feature_config: FeaturePipelineConfig,
+    pose_config: RobustPoseEstimatorConfig,
+    start_index: jnp.ndarray = 0,  # global frame id of frames[0] (traced)
+) -> Tuple[FeatureSet, TrackResult]:
+    """Fused tracking of a whole frame *window* in ONE device program.
+
+    Detects all B frames vmapped, then tracks the B consecutive pairs
+    (prev→f0, f0→f1, …, f_{B-2}→f_{B-1}) vmapped. One dispatch + one
+    scalar pull per window amortises the host↔device round-trip (the
+    dominant cost on a tunneled chip) by a factor of B. This is the
+    throughput path behind ``SLAMSystem.run_sequence``; the single-frame
+    :func:`track_frame` remains the latency path for live streaming.
+
+    Returns (features of every frame in the window — index [-1] seeds the
+    next window — and a batched TrackResult with leading dim B).
+    """
+    fast, brief, match_cfg = _configs(feature_config)
+
+    def detect(frame):
+        gray = rgb_to_gray(frame)
+        xy, scores, valid = detect_keypoints(
+            gray, num_keypoints=feature_config.num_features, config=fast
+        )
+        blurred = gaussian_blur(gray, sigma=brief.blur_sigma, radius=brief.blur_radius)
+        desc, angles = describe_keypoints(blurred, xy, valid, config=brief)
+        return FeatureSet(xy, scores, desc, angles, valid)
+
+    feats = jax.vmap(detect)(frames)  # leading dim B
+
+    # Pair i matches features of frame i-1 (or prev for i=0) to frame i.
+    src = jax.tree.map(
+        lambda p, f: jnp.concatenate([p[None], f[:-1]], axis=0), prev_features, feats
+    )
+    batch = frames.shape[0]
+    # Per-pair keys fold the GLOBAL frame id, so a windowed run and a
+    # frame-by-frame run of the same sequence are bit-identical.
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(start_index + jnp.arange(batch))
+
+    def track_pair(k, f1: FeatureSet, f2: FeatureSet):
+        result = match_descriptors(f1.descriptors, f1.valid, f2.descriptors, f2.valid, match_cfg)
+        selected = select_matches(result, max_matches=feature_config.max_matches)
+        p1, p2 = gather_matched_points(f1.xy, f2.xy, selected)
+        pose = estimate_pose_device(k, p1, p2, selected.valid, K, pose_config)
+        return TrackResult(
+            pose=pose,
+            matched_p1=p1,
+            matched_p2=p2,
+            match_mask=selected.valid,
+            match_distances=selected.distances,
+            num_matches=selected.num_valid.astype(jnp.int32),
+            num_features=jnp.sum(f2.valid).astype(jnp.int32),
+        )
+
+    track = jax.vmap(track_pair)(keys, src, feats)
+    return feats, track
+
+
 def pull_scalars(track: TrackResult) -> dict:
     """One small host transfer: every scalar the host control flow needs."""
     pose = track.pose
