@@ -391,19 +391,25 @@ class SLAMSystem:
         if self._prev_features is None:
             diags.append(self.process_frame(frames[0], ts[0]))
             pos = 1
-        while pos < len(frames):
-            chunk = [np.asarray(f) for f in frames[pos : pos + window]]
-            chunk_ts = ts[pos : pos + window]
+
+        def stage(p):
+            """Async H2D upload of the window at position p (padded tail)."""
+            chunk = [np.asarray(f) for f in frames[p : p + window]]
             real = len(chunk)
             # Pad short tails to the window size (repeat last frame) so the
             # device program never recompiles; padded outputs are ignored.
             while len(chunk) < window:
                 chunk.append(chunk[-1])
+            return jax.device_put(np.stack(chunk)), real
+
+        staged = stage(pos) if pos < len(frames) else None
+        while pos < len(frames):
+            frames_dev, real = staged
+            chunk_ts = ts[pos : pos + window]
             start_id = self._frame_count
             with timed_event(
                 self.telemetry, "track_window", metadata={"start": start_id, "size": real}
             ):
-                frames_dev = jax.device_put(np.stack(chunk))
                 feats, track = track_window(
                     self._track_key,
                     self._prev_features,
@@ -413,6 +419,10 @@ class SLAMSystem:
                     self.config.pose,
                     start_index=jnp.asarray(start_id, dtype=jnp.int32),
                 )
+                # Prefetch the next window while this one computes: the
+                # async H2D copy rides out the device time instead of
+                # serialising after the scalar pull (big win on a tunnel).
+                staged = stage(pos + real) if pos + real < len(frames) else None
                 bundle = pull_scalars(track)  # every field has leading dim B
             for i in range(real):
                 frame_id = self._frame_count

@@ -169,3 +169,27 @@ class TestWindowedTracking:
         diags = system.run_sequence(frames, window=4)  # 5 tracked = 4 + 1 tail
         assert len(diags) == 6
         assert len(system.trajectory) == 6
+
+
+class TestRelocalizationE2E:
+    def test_injected_loss_triggers_relocalization(self, tmp_path):
+        """Parity: reference relocalization_demo flow — run, inject loss,
+        verify relocalization against the on-demand map snapshot."""
+        cfg = small_config(
+            tmp_path,
+            enable_relocalization=True,
+            keyframe=KeyframeConfig(min_translation=0.01),  # many keyframes
+            relocalization_min_inliers=15,
+        )
+        system = SLAMSystem(cfg)
+        frames = make_sequence(num_frames=8, seed=21)
+        system.inject_tracking_loss(6)
+        diags = system.run_sequence(frames, window=1)
+        assert diags[6].injected_loss
+        assert not diags[6].pose_success
+        # With several keyframes of the same scene, relocalization should hit.
+        assert diags[6].relocalized
+        result = system.finalize_run()
+        assert result.num_relocalizations >= 1
+        assert result.map_snapshot_paths is not None
+        assert result.map_snapshot_paths["arrays"].exists()
