@@ -1,0 +1,347 @@
+"""Evaluation stack tests (reference parity: tests/test_evaluation_harness.py,
+tests/test_benchmark_regression_gate.py, tests/test_benchmark_ci_runner.py,
+tests/test_determinism_validation.py)."""
+
+import asyncio
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from mvslam_tpu.eval.baselines import BaselineStore, MetricThreshold, compare_metrics
+from mvslam_tpu.eval.ci_runner import SeverityWeights, metric_severity, score_run
+from mvslam_tpu.eval.determinism_validation import (
+    build_determinism_report,
+    build_run_digest,
+)
+from mvslam_tpu.eval.governance import (
+    BenchmarkSpec,
+    load_governance_config,
+    run_benchmark,
+    run_governance,
+)
+from mvslam_tpu.eval.harness import load_config, run_evaluation
+from mvslam_tpu.eval.readiness import generate_readiness_report
+from mvslam_tpu.eval.regression_gate import execute_gate
+from mvslam_tpu.eval.relocalization_metrics import (
+    summarize_relocalization_events,
+    summarize_relocalized_frames,
+)
+from mvslam_tpu.eval.telemetry_intelligence import (
+    AbsoluteIncreasePolicy,
+    RelativeIncreasePolicy,
+    TelemetryDriftEvaluator,
+    flatten_stage_metrics,
+    summarize_telemetry_streaming,
+)
+from mvslam_tpu.eval.trajectory import (
+    compute_additional_metrics,
+    compute_ate,
+    compute_rpe,
+    load_trajectory_file,
+)
+
+
+def write_kitti_trajectory(path: Path, positions):
+    lines = []
+    for p in positions:
+        T = np.eye(4)
+        T[:3, 3] = p
+        lines.append(" ".join(f"{v:.9f}" for v in T[:3, :].reshape(-1)))
+    path.write_text("\n".join(lines))
+
+
+class TestTrajectoryMetrics:
+    def test_identical_trajectories_zero_error(self, tmp_path):
+        pts = np.cumsum(np.random.default_rng(0).normal(size=(50, 3)), axis=0)
+        assert compute_ate(pts, pts) < 1e-9
+        assert compute_rpe(pts, pts) < 1e-9
+
+    def test_scale_invariance_via_alignment(self):
+        rng = np.random.default_rng(1)
+        gt = np.cumsum(rng.normal(size=(40, 3)), axis=0)
+        est = gt * 3.7  # monocular scale ambiguity
+        assert compute_ate(est, gt) < 1e-6
+
+    def test_additional_metrics_keys(self):
+        rng = np.random.default_rng(2)
+        gt = np.cumsum(rng.normal(size=(30, 3)), axis=0)
+        est = gt + rng.normal(scale=0.05, size=gt.shape)
+        m = compute_additional_metrics(est, gt)
+        assert set(m) == {"ATE_RMSE", "ATE_MEAN", "ATE_MEDIAN", "RPE_RMSE", "RPE_MEAN", "RPE_MEDIAN"}
+        assert 0 < m["ATE_RMSE"] < 0.2
+        assert m["ATE_MEDIAN"] <= m["ATE_RMSE"] * 2
+
+    def test_kitti_format_loading(self, tmp_path):
+        pts = np.asarray([[0, 0, 0], [1.0, 0.5, 2.0]])
+        path = tmp_path / "traj.txt"
+        write_kitti_trajectory(path, pts)
+        loaded = load_trajectory_file(path, "kitti_odom")
+        assert np.allclose(loaded, pts)
+
+    def test_unknown_format_raises(self, tmp_path):
+        with pytest.raises(ValueError):
+            load_trajectory_file(tmp_path / "x.txt", "bogus")
+
+
+class TestBaselines:
+    def test_direction_lower_with_tolerance(self):
+        thresholds = {"ATE_RMSE": MetricThreshold(direction="lower", tolerance=0.05)}
+        report = compare_metrics({"ATE_RMSE": 1.04}, {"ATE_RMSE": 1.0}, thresholds)
+        assert report.status == "pass"
+        report = compare_metrics({"ATE_RMSE": 1.10}, {"ATE_RMSE": 1.0}, thresholds)
+        assert report.status == "regressed"
+
+    def test_missing_baseline(self):
+        thresholds = {"x": MetricThreshold(max_delta=1.0)}
+        report = compare_metrics({"x": 1.0}, None, thresholds)
+        assert report.status == "missing_baseline"
+
+    def test_store_roundtrip(self, tmp_path):
+        store = BaselineStore(tmp_path / "b.json")
+        assert store.load_baseline("k") is None
+        store.upsert_baseline("k", {"ATE_RMSE": 0.5}, config_hash="abc")
+        assert store.load_baseline("k") == {"ATE_RMSE": 0.5}
+        assert store.keys() == ["k"]
+
+
+class TestTelemetryIntelligence:
+    def _events(self):
+        return [
+            {"name": "feature_detect", "duration_s": 0.01, "timestamp_s": 1.0, "metadata": {"success": True}},
+            {"name": "feature_detect", "duration_s": 0.02, "timestamp_s": 2.0, "metadata": {"success": True, "memory_delta_bytes": 100}},
+            {"name": "pose_estimate", "duration_s": 0.05, "timestamp_s": 3.0, "metadata": {"success": False, "error": "x"}},
+        ]
+
+    def test_streaming_summary(self, tmp_path):
+        path = tmp_path / "events.json"
+        path.write_text(json.dumps(self._events()))
+        summary = summarize_telemetry_streaming(path)
+        assert summary["total_events"] == 3
+        assert summary["stages"]["feature_detect"]["duration_s"]["count"] == 2
+        assert summary["stages"]["pose_estimate"]["errors"] == 1
+
+    def test_flatten(self, tmp_path):
+        path = tmp_path / "e.json"
+        path.write_text(json.dumps(self._events()))
+        flat = flatten_stage_metrics(summarize_telemetry_streaming(path))
+        assert flat["telemetry_stage_feature_detect_duration_count"] == 2
+        assert flat["telemetry_stage_pose_estimate_errors"] == 1
+
+    def test_drift_policies(self):
+        rel = RelativeIncreasePolicy(warn_ratio=0.2, fail_ratio=0.5)
+        assert rel.evaluate("m", 1.1, 1.0).status == "pass"
+        assert rel.evaluate("m", 1.3, 1.0).status == "warn"
+        assert rel.evaluate("m", 1.6, 1.0).status == "fail"
+        ab = AbsoluteIncreasePolicy(warn_delta=0.1, fail_delta=0.5)
+        assert ab.evaluate("m", 1.05, 1.0).status == "pass"
+        assert ab.evaluate("m", 1.2, 1.0).status == "warn"
+        assert ab.evaluate("m", 2.0, 1.0).status == "fail"
+
+    def test_drift_evaluator(self):
+        ev = TelemetryDriftEvaluator(RelativeIncreasePolicy(0.2, 0.5))
+        report = ev.evaluate({"a": 2.0, "b": 1.0}, {"a": 1.0, "b": 1.0})
+        assert report.status == "fail"
+        assert {v.metric for v in report.verdicts} == {"a", "b"}
+
+
+class TestDeterminismValidation:
+    def test_identical_runs_pass(self, tmp_path):
+        for name in ("a", "b"):
+            d = tmp_path / name
+            (d / "trajectories").mkdir(parents=True)
+            np.savez(d / "trajectories" / "est.npz", poses=np.eye(4)[None])
+            (d / "metrics.json").write_text(json.dumps({"x": 1, "recorded_at": name}))
+        report = build_determinism_report(tmp_path / "a", tmp_path / "b")
+        assert report.passed, report.to_dict()
+
+    def test_drift_detected(self, tmp_path):
+        for name, val in (("a", 1.0), ("b", 2.0)):
+            d = tmp_path / name
+            (d / "trajectories").mkdir(parents=True)
+            np.savez(d / "trajectories" / "est.npz", poses=np.eye(4)[None] * val)
+        report = build_determinism_report(tmp_path / "a", tmp_path / "b")
+        assert not report.passed
+        assert "trajectories/est.npz" in report.mismatched
+
+    def test_timestamps_excluded(self, tmp_path):
+        digests = []
+        for ts in (1.0, 99.0):
+            d = tmp_path / f"r{ts}"
+            d.mkdir()
+            (d / "telemetry.json").write_text(
+                json.dumps([{"name": "s", "duration_s": ts, "timestamp_s": ts}])
+            )
+            digests.append(build_run_digest(d))
+        assert digests[0]["telemetry.json"] == digests[1]["telemetry.json"]
+
+
+class TestRelocalizationMetrics:
+    def test_event_summary(self):
+        events = [
+            {"name": "relocalization_search", "duration_s": 0.1, "metadata": {"success": True}},
+            {"name": "relocalization_search", "duration_s": 0.2, "metadata": {"success": False}},
+            {"name": "other", "duration_s": 0.3, "metadata": {}},
+        ]
+        s = summarize_relocalization_events(events)
+        assert s["attempts"] == 2
+        assert s["successes"] == 1
+        assert s["success_rate"] == 0.5
+
+    def test_frame_summary(self):
+        diags = [
+            {"frame_id": 0, "pose_success": True},
+            {"frame_id": 1, "pose_success": False},
+            {"frame_id": 1, "relocalized": True, "pose_success": False, "num_matches": 50, "num_inliers": 30},
+        ]
+        s = summarize_relocalized_frames(diags)
+        assert s["relocalizations"] == 1
+        assert s["inliers_p50"] == 30
+
+
+def make_eval_setup(tmp_path, with_baseline=False, write=False):
+    """Synthetic gt/est trajectories + a harness config JSON."""
+    rng = np.random.default_rng(0)
+    gt = np.cumsum(rng.normal(size=(40, 3)), axis=0)
+    est = gt + rng.normal(scale=0.02, size=gt.shape)
+    write_kitti_trajectory(tmp_path / "gt.txt", gt)
+    write_kitti_trajectory(tmp_path / "est.txt", est)
+    config = {
+        "run": {"run_id": "eval_test", "output_root": str(tmp_path / "runs"), "seed": 3},
+        "evaluation": {
+            "rpe_delta": 1,
+            "trajectories": [{"name": "seq0", "gt": "gt.txt", "est": "est.txt"}],
+        },
+    }
+    if with_baseline:
+        config["baseline"] = {
+            "store": "baselines.json",
+            "key": "seq_key",
+            "metric_thresholds": {"ATE_RMSE": {"direction": "lower", "tolerance": 0.05}},
+            "write": write,
+        }
+    path = tmp_path / "config.json"
+    path.write_text(json.dumps(config))
+    return path
+
+
+class TestHarness:
+    def test_end_to_end(self, tmp_path):
+        cfg_path = make_eval_setup(tmp_path)
+        summary = run_evaluation(load_config(cfg_path))
+        assert summary["status"] == "pass"
+        assert "ATE_RMSE" in summary["aggregate"]
+        run_dir = Path(summary["run_dir"])
+        assert (run_dir / "summary.json").exists()
+        assert (run_dir / "summary.csv").exists()
+
+    def test_baseline_flow(self, tmp_path):
+        cfg_path = make_eval_setup(tmp_path, with_baseline=True, write=True)
+        s1 = run_evaluation(load_config(cfg_path))
+        assert s1["status"] == "missing_baseline"  # first run writes
+        s2 = run_evaluation(load_config(cfg_path))
+        assert s2["status"] == "pass"
+        assert s2["baseline_comparisons"]["metrics"]["status"] == "pass"
+
+    def test_run_dir_entry(self, tmp_path):
+        """Harness can evaluate a SLAM run directory's npz trajectory."""
+        from mvslam_tpu.core.persistence import RunDataStore, TrajectoryAccumulator
+
+        rng = np.random.default_rng(1)
+        gt = np.cumsum(rng.normal(size=(10, 3)), axis=0)
+        store = RunDataStore(tmp_path / "slam_run")
+        acc = TrajectoryAccumulator()
+        for i, p in enumerate(gt):
+            T = np.eye(4)
+            T[:3, 3] = p
+            acc.append(i, 0.1 * i, T)
+        store.save_trajectory("estimated", acc)
+        write_kitti_trajectory(tmp_path / "gt.txt", gt)
+        cfg = {
+            "run": {"run_id": "rd", "output_root": str(tmp_path / "runs")},
+            "evaluation": {
+                "trajectories": [
+                    {"name": "s", "gt": "gt.txt", "est_run_dir": "slam_run"}
+                ]
+            },
+        }
+        p = tmp_path / "cfg.json"
+        p.write_text(json.dumps(cfg))
+        summary = run_evaluation(load_config(p))
+        assert summary["aggregate"]["ATE_RMSE"] < 1e-6
+
+
+class TestGateAndCI:
+    def test_gate_pass_and_failfast(self, tmp_path):
+        (tmp_path / "g").mkdir(exist_ok=True)
+        good = make_eval_setup(tmp_path / "g")
+        summary = asyncio.run(execute_gate([good], max_concurrency=1))
+        assert summary["status"] == "pass"
+        bad = tmp_path / "bad.json"
+        bad.write_text("{invalid")
+        summary = asyncio.run(execute_gate([bad, good], max_concurrency=1))
+        assert summary["status"] == "error"
+
+    def test_severity(self):
+        weights = SeverityWeights()
+        comp = {"metric": "ATE_RMSE", "status": "regressed", "current": 1.5, "baseline": 1.0}
+        assert metric_severity(comp, weights) == pytest.approx(1.0)  # 2.0 * 0.5
+        assert metric_severity({**comp, "status": "pass"}, weights) == 0.0
+        run_detail = {"baseline_comparisons": {"metrics": {"comparisons": [comp]}}}
+        assert score_run(run_detail, weights) == pytest.approx(1.0)
+
+
+class TestGovernance:
+    def test_run_benchmark_pass(self):
+        spec = BenchmarkSpec(
+            name="echo",
+            command=["python", "-c", "import json; print(json.dumps({'metric': 'm', 'value': 1.0}))"],
+        )
+        result = run_benchmark(spec)
+        assert result["status"] == "pass"
+        assert result["metrics"] == {"m": 1.0}
+
+    def test_budget_exceeded(self):
+        spec = BenchmarkSpec(
+            name="sleepy", command=["python", "-c", "import time; time.sleep(2)"], runtime_budget_s=0.3
+        )
+        result = run_benchmark(spec)
+        assert result["status"] == "budget_exceeded"
+
+    def test_governance_config_and_run(self, tmp_path):
+        cfg = tmp_path / "gov.json"
+        cfg.write_text(
+            json.dumps(
+                {
+                    "benchmarks": [
+                        {
+                            "name": "ok",
+                            "command": ["python", "-c", "print('{\"metric\": \"v\", \"value\": 2}')"],
+                        }
+                    ],
+                    "fail_fast": True,
+                }
+            )
+        )
+        config = load_governance_config(cfg)
+        summary = run_governance(config)
+        assert summary["status"] == "pass"
+        assert summary["benchmarks"][0]["metrics"]["v"] == 2.0
+
+
+class TestReadiness:
+    def test_rollup(self):
+        report = generate_readiness_report(
+            control_plane_report={"stages": {"ingestion": {"state": "healthy"}, "feature": {"state": "degraded"}}},
+            evaluation_summary={"status": "pass", "aggregate": {"ATE_RMSE": 0.1}},
+            telemetry_summary={"total_events": 10, "stages": {"s": {"errors": 0}}},
+        )
+        assert report["sections"]["control_plane"]["status"] == "warn"
+        assert report["sections"]["evaluation"]["status"] == "pass"
+        assert report["status"] == "warn"
+        assert report["digest"]
+
+    def test_unknown_sections(self):
+        report = generate_readiness_report()
+        assert report["status"] == "unknown"
