@@ -31,7 +31,22 @@ __version__ = "0.1.0"
 # error on a 3x3 compose — fatal for Lie-group roundtrips and normal
 # equations). Throughput-critical kernels that tolerate bf16 request lower
 # precision explicitly at their call sites.
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_default_matmul_precision", "highest")
-del _jax
+
+# Persistent compilation cache: CLI entry points are separate processes, and
+# first-compile over a tunneled TPU costs minutes. Opt out with
+# MVSLAM_JAX_CACHE_DIR="".
+_cache_dir = _os.environ.get(
+    "MVSLAM_JAX_CACHE_DIR", _os.path.expanduser("~/.cache/mvslam_tpu_jax")
+)
+if _cache_dir:
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+del _jax, _os, _cache_dir

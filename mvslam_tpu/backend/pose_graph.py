@@ -128,6 +128,21 @@ class PoseGraph3D(PoseGraphBase):
 
     model_name = "se3"
 
+    @classmethod
+    def from_pose_matrices(cls, poses, weight: float = 1.0, **kwargs) -> "PoseGraph3D":
+        """Build an odometry chain from (N, 4, 4) absolute poses."""
+        from mvslam_tpu.backend.factor_graph import SE3Model
+
+        graph = cls(**kwargs)
+        poses = [np.asarray(p, dtype=np.float64) for p in poses]
+        if poses:
+            graph._params = [
+                np.asarray(SE3Model.matrix_to_params(jnp.asarray(poses[0])), dtype=np.float64)
+            ]
+            for a, b in zip(poses[:-1], poses[1:]):
+                graph.add_pose_matrix(np.linalg.inv(a) @ b, weight)
+        return graph
+
     def poses(self) -> np.ndarray:
         from mvslam_tpu.backend.factor_graph import SE3Model
 

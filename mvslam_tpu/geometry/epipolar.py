@@ -209,38 +209,68 @@ def symmetric_transfer_error(H: jnp.ndarray, pts1: jnp.ndarray, pts2: jnp.ndarra
 def decompose_homography(
     H: jnp.ndarray, pts1: jnp.ndarray, pts2: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Planar homography → (R, t_unit, cheirality count) via SVD candidates.
+    """Calibrated homography → (R, t_unit, cheirality count).
 
-    Simplified Faugeras decomposition over the sign/column ambiguities with
-    cheirality voting against the correspondences (parity:
-    ``homography.py:59-78``). Assumes normalised coordinates.
+    Full Faugeras SVD decomposition (parity: ``homography.py:59-78``'s
+    role): with H = U·diag(d1,d2,d3)·Vᵀ and H normalised by d2, the four
+    sign combinations of
+
+        x1 = ±√((d1²−d2²)/(d1²−d3²)),  x3 = ±√((d2²−d3²)/(d1²−d3²))
+
+    yield candidate (R', t', n') triples in the SVD frame; candidates are
+    mapped back through U/V and ranked by cheirality voting over the
+    correspondences (both depths positive). Near-pure-rotation H
+    degenerates to t→0 — such models lose to the essential branch via the
+    parallax gate. Assumes normalised coordinates.
     """
     U, S, Vt = jnp.linalg.svd(H)
-    # Normalise by the middle singular value so the plane-at-unit-distance
-    # convention holds.
-    Hn = H / jnp.where(S[1] < 1e-12, 1e-12, S[1])
-    # Closest rotation to Hn (projection onto SO(3)) + residual translation
-    # direction from the epipolar constraint; evaluate both signs.
-    Ur, _, Vtr = jnp.linalg.svd(Hn)
-    R0 = Ur @ Vtr
-    R0 = R0 * jnp.sign(jnp.linalg.det(R0))
-    # Translation direction ≈ dominant column of (Hn - R0).
-    D = Hn - R0
-    _, _, Vtd = jnp.linalg.svd(D)
-    # t direction = D applied to dominant input direction.
-    n_vec = Vtd[0]
-    t0 = D @ n_vec
-    t_norm = jnp.linalg.norm(t0)
-    t0 = t0 / jnp.where(t_norm < 1e-12, 1e-12, t_norm)
+    # Work with proper rotations: fold the reflection into both factors.
+    detU = jnp.linalg.det(U)
+    detV = jnp.linalg.det(Vt)
+    U = U * detU
+    Vt = Vt * detV
+    d1, d2, d3 = S[0], S[1], S[2]
+    denom = jnp.maximum(d1 * d1 - d3 * d3, 1e-12)
+    x1 = jnp.sqrt(jnp.clip((d1 * d1 - d2 * d2) / denom, 0.0, 1.0))
+    x3 = jnp.sqrt(jnp.clip((d2 * d2 - d3 * d3) / denom, 0.0, 1.0))
+    d2_safe = jnp.maximum(d2, 1e-12)
+
+    signs = jnp.asarray(
+        [[1.0, 1.0], [1.0, -1.0], [-1.0, 1.0], [-1.0, -1.0]], dtype=H.dtype
+    )
+
+    def candidate(sgn):
+        e1, e3 = sgn[0], sgn[1]
+        s_theta = (d1 - d3) * (e1 * x1) * (e3 * x3) / d2_safe
+        c_theta = (d1 * x3 * x3 + d3 * x1 * x1) / d2_safe
+        Rp = jnp.asarray(
+            [
+                [c_theta, 0.0, -s_theta],
+                [0.0, 1.0, 0.0],
+                [s_theta, 0.0, c_theta],
+            ],
+            dtype=H.dtype,
+        )
+        tp = (d1 - d3) * jnp.asarray([e1 * x1, 0.0, -e3 * x3], dtype=H.dtype)
+        R = U @ Rp @ Vt
+        t = U @ tp
+        return R, t
+
+    Rs, ts = jax.vmap(candidate)(signs)
 
     def count(R, t_vec):
-        pts = triangulate_normalized(R, t_vec, pts1, pts2)
+        # Guard t≈0 (pure rotation): normalise for voting, report raw count.
+        norm = jnp.linalg.norm(t_vec)
+        t_unit = t_vec / jnp.where(norm < 1e-9, 1.0, norm)
+        pts = triangulate_normalized(R, t_unit, pts1, pts2)
         z1 = pts[..., 2]
-        cam2 = pts @ R.T + t_vec
+        cam2 = pts @ R.T + t_unit
         return jnp.sum((z1 > 1e-6) & (cam2[..., 2] > 1e-6))
 
-    c_pos = count(R0, t0)
-    c_neg = count(R0, -t0)
-    flip = c_neg > c_pos
-    t_best = jnp.where(flip, -t0, t0)
-    return R0, t_best, jnp.maximum(c_pos, c_neg)
+    counts = jax.vmap(count)(Rs, ts)
+    best = jnp.argmax(counts)
+    R_best = Rs[best]
+    t_best = ts[best]
+    t_norm = jnp.linalg.norm(t_best)
+    t_best = t_best / jnp.where(t_norm < 1e-9, 1.0, t_norm)
+    return R_best, t_best, counts[best]

@@ -1,0 +1,280 @@
+"""Supervised async feature extraction control plane.
+
+Parity: reference ``feature_control_plane.py`` — frames are submitted to a
+thread-pool of workers running the feature pipeline (here: the jitted
+detect+describe device program), with a per-frame deterministic seed
+``base + seq_id`` (ref L292, L504), a blake2b frame-hash keyed LRU+TTL
+feature cache (ref L188-245), an inflight semaphore for backpressure (ref
+L351, L399), a dict-based reorder buffer (ref L219-237), a circuit
+breaker, P²-quantile latency telemetry (ref L117-185), and a health
+snapshot + event digest (ref L590-631).
+
+Device note: on a single chip the workers serialise at dispatch; the pool
+still overlaps host-side hashing/serialisation with device compute and
+provides the same backpressure semantics as the reference.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import threading
+import time
+from collections import OrderedDict
+from concurrent.futures import Future, ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from mvslam_tpu.core.integrity import stable_event_digest
+from mvslam_tpu.core.persistence import StreamingMoments
+from mvslam_tpu.frontend.feature_pipeline import FeaturePipeline, FeaturePipelineConfig
+from mvslam_tpu.runtime.ingestion_control import (
+    CircuitBreaker,
+    CircuitBreakerConfig,
+    DeterministicEventLog,
+)
+
+
+@dataclass(frozen=True)
+class FeatureControlConfig:
+    """Parity: ``feature_control_plane.py:30-61``."""
+
+    num_workers: int = 2
+    max_inflight: int = 8
+    cache_capacity: int = 64
+    cache_ttl_s: float = 30.0
+    breaker: CircuitBreakerConfig = CircuitBreakerConfig()
+    base_seed: int = 0
+
+
+@dataclass
+class FeatureResult:
+    """Parity: ``feature_control_plane.py:89-101``."""
+
+    seq_id: int
+    keypoints: np.ndarray  # (N, 2)
+    descriptors: np.ndarray  # (N, 8) uint32
+    valid: np.ndarray  # (N,)
+    num_features: int
+    from_cache: bool = False
+    error: Optional[str] = None
+
+    @property
+    def ok(self) -> bool:
+        return self.error is None
+
+
+class _LruTtlCache:
+    """blake2b frame-hash keyed feature cache. Parity: ref L188-245."""
+
+    def __init__(self, capacity: int, ttl_s: float, clock=time.monotonic) -> None:
+        self.capacity = capacity
+        self.ttl_s = ttl_s
+        self._clock = clock
+        self._items: "OrderedDict[str, Tuple[float, Any]]" = OrderedDict()
+        self._lock = threading.Lock()
+        self.hits = 0
+        self.misses = 0
+
+    @staticmethod
+    def key_for(frame: np.ndarray) -> str:
+        h = hashlib.blake2b(digest_size=16)
+        h.update(str(frame.shape).encode())
+        h.update(np.ascontiguousarray(frame).tobytes())
+        return h.hexdigest()
+
+    def get(self, key: str):
+        with self._lock:
+            entry = self._items.get(key)
+            if entry is None:
+                self.misses += 1
+                return None
+            ts, value = entry
+            if self._clock() - ts > self.ttl_s:
+                del self._items[key]
+                self.misses += 1
+                return None
+            self._items.move_to_end(key)
+            self.hits += 1
+            return value
+
+    def put(self, key: str, value: Any) -> None:
+        with self._lock:
+            self._items[key] = (self._clock(), value)
+            self._items.move_to_end(key)
+            while len(self._items) > self.capacity:
+                self._items.popitem(last=False)
+
+
+class FeatureControlPlane:
+    """submit → collect/drain supervised async feature extraction.
+
+    Parity: ``feature_control_plane.py:322-631``.
+    """
+
+    def __init__(
+        self,
+        feature_config: Optional[FeaturePipelineConfig] = None,
+        config: Optional[FeatureControlConfig] = None,
+        clock=time.monotonic,
+    ) -> None:
+        self.config = config or FeatureControlConfig()
+        self.feature_config = feature_config or FeaturePipelineConfig()
+        self._pipeline = FeaturePipeline(self.feature_config)
+        self._executor = ThreadPoolExecutor(
+            max_workers=self.config.num_workers, thread_name_prefix="feature-worker"
+        )
+        self._inflight = threading.Semaphore(self.config.max_inflight)
+        self._cache = _LruTtlCache(self.config.cache_capacity, self.config.cache_ttl_s, clock)
+        self.breaker = CircuitBreaker(self.config.breaker, clock=clock)
+        self.events = DeterministicEventLog(clock=clock)
+        self._futures: Dict[int, Future] = {}
+        self._ready: Dict[int, FeatureResult] = {}  # dict-based reorder (ref L219-237)
+        self._next_seq_out = 0
+        self._lock = threading.Lock()
+        self._latency = StreamingMoments()
+        self.submitted = 0
+        self.completed = 0
+        self.failed = 0
+        self.rejected = 0
+        self._closed = False
+
+    # -- worker ----------------------------------------------------------
+
+    def _extract(self, seq_id: int, frame: np.ndarray, cache_key: str) -> FeatureResult:
+        import jax.numpy as jnp
+
+        start = time.perf_counter()
+        try:
+            feats = self._pipeline.detect_and_describe(jnp.asarray(frame))
+            result = FeatureResult(
+                seq_id=seq_id,
+                keypoints=np.asarray(feats.xy),
+                descriptors=np.asarray(feats.descriptors),
+                valid=np.asarray(feats.valid),
+                num_features=int(np.asarray(feats.valid).sum()),
+            )
+            self._cache.put(cache_key, result)
+            self.breaker.record_success()
+            return result
+        except Exception as exc:
+            self.breaker.record_failure()
+            self.events.emit("feature_error", message=str(exc), seq_id=seq_id)
+            return FeatureResult(
+                seq_id=seq_id,
+                keypoints=np.zeros((0, 2), np.float32),
+                descriptors=np.zeros((0, 8), np.uint32),
+                valid=np.zeros(0, bool),
+                num_features=0,
+                error=f"{type(exc).__name__}: {exc}",
+            )
+        finally:
+            self._latency.update(time.perf_counter() - start)
+            self._inflight.release()
+
+    # -- public ------------------------------------------------------------
+
+    def submit(self, seq_id: int, frame: np.ndarray, timeout: Optional[float] = 5.0) -> bool:
+        """Submit a frame; returns False when rejected (breaker/backpressure).
+
+        Parity: ``feature_control_plane.py:396-469``.
+        """
+        if self._closed:
+            raise RuntimeError("control plane closed")
+        if not self.breaker.allow():
+            self.rejected += 1
+            self.events.emit("submit_rejected", message="circuit_breaker_open", seq_id=seq_id)
+            return False
+        frame = np.asarray(frame)
+        cache_key = _LruTtlCache.key_for(frame)
+        cached = self._cache.get(cache_key)
+        if cached is not None:
+            with self._lock:
+                self._ready[seq_id] = FeatureResult(
+                    seq_id=seq_id,
+                    keypoints=cached.keypoints,
+                    descriptors=cached.descriptors,
+                    valid=cached.valid,
+                    num_features=cached.num_features,
+                    from_cache=True,
+                )
+            self.submitted += 1
+            self.completed += 1
+            return True
+        if not self._inflight.acquire(timeout=timeout):
+            self.rejected += 1
+            self.events.emit("submit_rejected", message="backpressure", seq_id=seq_id)
+            return False
+        future = self._executor.submit(self._extract, seq_id, frame, cache_key)
+        with self._lock:
+            self._futures[seq_id] = future
+        self.submitted += 1
+        return True
+
+    def _harvest_locked(self) -> None:
+        done = [s for s, f in self._futures.items() if f.done()]
+        for seq in done:
+            future = self._futures.pop(seq)
+            result = future.result()
+            if result.error is None:
+                self.completed += 1
+            else:
+                self.failed += 1
+            self._ready[seq] = result
+
+    def drain_ready(self) -> List[FeatureResult]:
+        """In-order completed results (dict-based next-seq reorder)."""
+        out: List[FeatureResult] = []
+        with self._lock:
+            self._harvest_locked()
+            while self._next_seq_out in self._ready:
+                out.append(self._ready.pop(self._next_seq_out))
+                self._next_seq_out += 1
+        return out
+
+    def collect(self, timeout: float = 10.0) -> List[FeatureResult]:
+        """Block until every submitted frame has been returned in order.
+
+        Parity: ``feature_control_plane.py`` collect/drain.
+        """
+        deadline = time.monotonic() + timeout
+        out: List[FeatureResult] = []
+        while time.monotonic() < deadline:
+            out.extend(self.drain_ready())
+            with self._lock:
+                pending = bool(self._futures) or bool(self._ready)
+            if not pending:
+                break
+            time.sleep(0.002)
+        return out
+
+    def close(self) -> None:
+        self._closed = True
+        self._executor.shutdown(wait=True, cancel_futures=False)
+
+    # -- observability -------------------------------------------------------
+
+    def health_snapshot(self) -> Dict[str, Any]:
+        with self._lock:
+            inflight = len(self._futures)
+        return {
+            "stage": "feature",
+            "state": "tripped" if self.breaker.state == "open" else "healthy",
+            "submitted": self.submitted,
+            "completed": self.completed,
+            "failed": self.failed,
+            "rejected": self.rejected,
+            "inflight": inflight,
+            "cache_hits": self._cache.hits,
+            "cache_misses": self._cache.misses,
+            "breaker_state": self.breaker.state,
+            "breaker_trips": self.breaker.trip_count,
+            "latency": self._latency.summary(),
+        }
+
+    def stage_events(self) -> List[Dict[str, Any]]:
+        return self.events.events()
+
+    def event_digest(self) -> str:
+        return stable_event_digest(self.events.events())

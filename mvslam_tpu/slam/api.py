@@ -445,6 +445,94 @@ class SLAMSystem:
         """Parity: ``slam_api.py:364-374``."""
         return [self.process_frame(p.frame, p.timestamp) for p in packets]
 
+    def run_stream_async(
+        self,
+        packets: Iterable[FramePacket],
+        feature_control_config=None,
+        tracking_control_config=None,
+    ) -> List[FrameDiagnostics]:
+        """Control-plane path: async feature extraction + ordered tracking.
+
+        Parity: ``slam_api.py:376-441`` — wires a FeatureControlPlane and a
+        TrackingControlPlane, drains ordered results through the fused
+        match+pose device step, and persists a ControlPlaneHub report on
+        close.
+        """
+        from mvslam_tpu.runtime.feature_plane import FeatureControlPlane
+        from mvslam_tpu.runtime.hub import ControlPlaneHub, ControlPlaneStageAdapter
+        from mvslam_tpu.runtime.tracking_plane import TrackingControlPlane
+        from mvslam_tpu.slam.tracking import feature_set_from_arrays, match_and_estimate
+
+        feature_plane = FeatureControlPlane(self.config.feature, feature_control_config)
+        control_plane = TrackingControlPlane(feature_plane, tracking_control_config)
+        diags: List[FrameDiagnostics] = []
+        prev_fs = self._prev_features
+        seq_to_meta: Dict[int, float] = {}
+
+        def handle(result) -> None:
+            nonlocal prev_fs
+            frame_id = result.seq_id
+            diag = FrameDiagnostics(
+                frame_id=frame_id,
+                timestamp=result.timestamp,
+                correlation_id=self.correlations.correlation_id("frame_process"),
+            )
+            if not result.ok:
+                self._failure_count += 1
+                diag.pose_success = False
+                diag.failure_reason = result.drop_reason or "feature_error"
+                self.trajectory.append(frame_id, result.timestamp, self._pose)
+                self.diagnostics.append(diag)
+                diags.append(diag)
+                return
+            fr = result.feature_result
+            cur_fs = feature_set_from_arrays(fr.keypoints, fr.descriptors, fr.valid)
+            if prev_fs is None:
+                diag.num_features = fr.num_features
+                diag.pose_success = True
+                diag.model_type = "bootstrap"
+                prev_fs = cur_fs
+                self._prev_features = cur_fs
+                self._record_frame(frame_id, result.timestamp, diag, 1.0, cur_fs)
+                diags.append(diag)
+                return
+            key = jax.random.fold_in(self._track_key, frame_id)
+            with timed_event(self.telemetry, "track_step", metadata={"frame_id": frame_id}):
+                track = match_and_estimate(
+                    key, prev_fs, cur_fs, self._K_dev, self.config.feature, self.config.pose
+                )
+                scalars = pull_scalars(track)
+            prev_fs = cur_fs
+            self._prev_features = cur_fs
+            self._handle_tracked_frame(frame_id, result.timestamp, diag, scalars, cur_fs)
+            diags.append(diag)
+
+        try:
+            for packet in packets:
+                frame_id = self._frame_count
+                self._frame_count += 1
+                seq_to_meta[frame_id] = packet.timestamp
+                control_plane.submit_frame(frame_id, packet.timestamp, np.asarray(packet.frame))
+                for result in control_plane.drain_ready():
+                    handle(result)
+            for result in control_plane.collect():
+                handle(result)
+        finally:
+            hub = ControlPlaneHub(
+                [
+                    ControlPlaneStageAdapter(
+                        "feature", feature_plane.health_snapshot, feature_plane.stage_events
+                    ),
+                    ControlPlaneStageAdapter(
+                        "tracking", control_plane.health_snapshot, control_plane.stage_events
+                    ),
+                ]
+            )
+            report = hub.generate_report()
+            self.store.save_report("control_plane_report", report.to_dict())
+            feature_plane.close()
+        return diags
+
     # ------------------------------------------------------------------
     # Finalization
     # ------------------------------------------------------------------

@@ -1,0 +1,362 @@
+"""Offline full-demo entry point: tracking + loop closure + pose-graph
+correction + evaluation.
+
+Parity: reference ``visual_slam_offline_entry_point.py`` — the complete
+demo loop (ref ``run_visual_slam`` L433-679): per-frame pose tracking with
+fallbacks, dynamic-object masking by frame differencing (ref L148-160),
+BoW loop detection with geometric verification and inlier-ratio gating
+(ref L557-648), loop-scale estimation (ref L417-430), pose-graph
+optimisation on accepted loops (ref L650-655), keyframe + local BA
+integration (ref L544-555), optional live animation, and ATE/RPE against
+ground truth (ref L407-414). Input: a KITTI sequence dir, an image
+directory, or a video file (cv2 gated).
+
+The compute path is the framework's fused TPU step; this module owns the
+*offline orchestration* — loop topology and corrections are host logic.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass(frozen=True)
+class SLAMRunConfig:
+    """Parity: ``visual_slam_offline_entry_point.py:203-229``."""
+
+    input_path: Path
+    input_kind: str = "kitti"  # "kitti" | "images" | "video"
+    sequence: str = "00"
+    max_frames: Optional[int] = None
+    run_id: str = "offline_slam"
+    output_root: Path = Path("runs")
+    seed: int = 0
+    # Loop closure
+    enable_loop_closure: bool = True
+    loop_similarity_threshold: float = 0.75
+    loop_min_frame_gap: int = 30
+    loop_min_inliers: int = 30
+    loop_min_inlier_ratio: float = 0.4
+    # Dynamic-object masking (frame differencing, ref L148-160)
+    enable_dynamic_masking: bool = False
+    dynamic_diff_threshold: float = 40.0
+    # Local BA over the keyframe window
+    enable_local_ba: bool = False
+    # Evaluation
+    ground_truth_path: Optional[Path] = None
+    # Animation
+    enable_animation: bool = False
+
+
+def mask_dynamic_regions(frame: np.ndarray, prev: Optional[np.ndarray], threshold: float) -> np.ndarray:
+    """Suppress fast-changing pixels (moving objects) by frame differencing.
+
+    Parity: ``visual_slam_offline_entry_point.py:148-160``.
+    """
+    if prev is None or prev.shape != frame.shape:
+        return frame
+    diff = np.abs(frame.astype(np.float32) - prev.astype(np.float32))
+    masked = frame.astype(np.float32).copy()
+    masked[diff > threshold] = 0.0
+    return masked
+
+
+def _load_frames(config: SLAMRunConfig):
+    if config.input_kind == "kitti":
+        from mvslam_tpu.data.kitti import KittiSequence
+
+        seq = KittiSequence(config.input_path, config.sequence)
+        K = seq.camera_intrinsics()
+        return seq.iter_frames(config.max_frames), K
+    if config.input_kind == "images":
+        from mvslam_tpu.geometry.projection import make_K_from_fov
+        from mvslam_tpu.runtime.frame_stream import FrameStream
+
+        paths = sorted(Path(config.input_path).glob("*.png")) + sorted(
+            Path(config.input_path).glob("*.jpg")
+        )
+        if config.max_frames:
+            paths = paths[: config.max_frames]
+        stream = FrameStream(paths)
+        first = None
+        from mvslam_tpu.runtime.frame_stream import _default_read_fn
+
+        if paths:
+            first = _default_read_fn(paths[0])
+        h, w = (first.shape if first is not None else (370, 1226))
+        return iter(stream), np.asarray(make_K_from_fov(w, h))
+    if config.input_kind == "video":
+        import cv2
+
+        from mvslam_tpu.geometry.projection import make_K_from_fov
+        from mvslam_tpu.runtime.frame_stream import FramePacket
+
+        cap = cv2.VideoCapture(str(config.input_path))
+        w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+
+        def gen():
+            index = 0
+            while True:
+                okay, frame = cap.read()
+                if not okay or (config.max_frames and index >= config.max_frames):
+                    break
+                gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+                yield FramePacket(index=index, timestamp=index / 30.0, frame=gray)
+                index += 1
+            cap.release()
+
+        return gen(), np.asarray(make_K_from_fov(w, h))
+    raise ValueError(f"unknown input kind {config.input_kind!r}")
+
+
+def _verify_loop(system, kf_a, kf_b, config: SLAMRunConfig):
+    """Geometric loop verification: match + essential RANSAC between two
+    keyframes; returns (T_a_b relative SE3, inliers, ratio) or None.
+
+    Parity: ``visual_slam_offline_entry_point.py:557-648``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mvslam_tpu.geometry.epipolar import decompose_essential
+    from mvslam_tpu.geometry.projection import normalize_pixels
+    from mvslam_tpu.ops.hamming import (
+        MatchConfig,
+        gather_matched_points,
+        match_descriptors,
+        select_matches,
+    )
+    from mvslam_tpu.ops.ransac import RansacConfig, ransac_essential
+
+    K = jnp.asarray(system.K, jnp.float32)
+    res = match_descriptors(
+        jnp.asarray(kf_a.descriptors), jnp.asarray(kf_a.valid),
+        jnp.asarray(kf_b.descriptors), jnp.asarray(kf_b.valid),
+        MatchConfig(cross_check=True),
+    )
+    sel = select_matches(res, max_matches=256)
+    if int(sel.num_valid) < config.loop_min_inliers:
+        return None
+    p1, p2 = gather_matched_points(
+        jnp.asarray(kf_a.keypoints, jnp.float32), jnp.asarray(kf_b.keypoints, jnp.float32), sel
+    )
+    n1 = normalize_pixels(p1, K)
+    n2 = normalize_pixels(p2, K)
+    ransac = ransac_essential(
+        jax.random.fold_in(system.registry.key_for("loop_closure"), int(kf_b.frame_id)),
+        n1, n2, sel.valid,
+        RansacConfig(num_hypotheses=256, min_inliers=config.loop_min_inliers),
+        threshold=2.0 / float(system.K[0, 0]),
+    )
+    inliers = int(ransac.num_inliers)
+    ratio = float(ransac.inlier_ratio)
+    if not bool(ransac.success) or ratio < config.loop_min_inlier_ratio:
+        return None
+    R, t, _ = decompose_essential(
+        ransac.model, n1, n2, weights=ransac.inliers.astype(jnp.float32)
+    )
+    R = np.asarray(R, np.float64)
+    t = np.asarray(t, np.float64)
+    # Loop-scale estimation: reuse the odometry chain's scale between the
+    # two keyframes (unit-norm essential translation is scale-free).
+    # Parity: ref L417-430 (Sim3 scale estimate).
+    chain_dist = np.linalg.norm(kf_b.pose[:3, 3] - kf_a.pose[:3, 3])
+    scale = max(chain_dist, 1e-6) if chain_dist < 1.0 else 1.0
+    rel = np.eye(4)
+    rel[:3, :3] = R.T
+    rel[:3, 3] = -R.T @ (t * scale)
+    return rel, inliers, ratio
+
+
+def run_visual_slam(config: SLAMRunConfig) -> Dict[str, Any]:
+    """Parity: ``visual_slam_offline_entry_point.py:433-679``."""
+    from mvslam_tpu.backend.factor_graph import SE3Model
+    from mvslam_tpu.backend.keyframes import KeyframeConfig
+    from mvslam_tpu.backend.pose_graph import PoseGraph3D
+    from mvslam_tpu.backend.solvers import SolverConfig
+    from mvslam_tpu.loopclosure.bow import BoWConfig, BoWDatabase
+    from mvslam_tpu.slam.api import SLAMSystem, SLAMSystemConfig
+
+    packets, K = _load_frames(config)
+    system = SLAMSystem(
+        SLAMSystemConfig(
+            run_id=config.run_id,
+            output_root=config.output_root,
+            seed=config.seed,
+            fx=float(K[0, 0]), fy=float(K[1, 1]), cx=float(K[0, 2]), cy=float(K[1, 2]),
+            keyframe=KeyframeConfig(min_translation=0.05),
+            enable_local_ba=config.enable_local_ba,
+        )
+    )
+    bow = BoWDatabase(
+        BoWConfig(
+            vocab_size=64,
+            similarity_threshold=config.loop_similarity_threshold,
+            min_frame_gap=config.loop_min_frame_gap,
+            min_train_descriptors_factor=5,
+        ),
+        key=system.registry.key_for("bow"),
+    )
+    animator = None
+    if config.enable_animation:
+        from mvslam_tpu.viz.path_animator import VehiclePathLiveAnimator
+
+        animator = VehiclePathLiveAnimator()
+        animator.start()
+
+    loops_detected: List[Dict[str, Any]] = []
+    loops_accepted: List[Dict[str, Any]] = []
+    seen_keyframes = 0
+    prev_frame: Optional[np.ndarray] = None
+
+    for packet in packets:
+        frame = packet.frame
+        if config.enable_dynamic_masking:
+            frame = mask_dynamic_regions(frame, prev_frame, config.dynamic_diff_threshold)
+            prev_frame = np.asarray(packet.frame)
+        diag = system.process_frame(frame, packet.timestamp)
+        if animator is not None:
+            animator.update(system.pose)
+        if not config.enable_loop_closure:
+            continue
+        # New keyframe → feed BoW, query for loops (host logic).
+        if len(system.keyframes) > seen_keyframes:
+            seen_keyframes = len(system.keyframes)
+            kf = system.keyframes.keyframes[-1]
+            hit = bow.detect_loop(kf.frame_id, kf.descriptors, kf.valid) if bow.is_trained else None
+            bow.add_frame(kf.frame_id, kf.descriptors, kf.valid)
+            if hit is None:
+                continue
+            cand_frame_id, score = hit
+            cand = next(
+                (k for k in system.keyframes.keyframes if k.frame_id == cand_frame_id), None
+            )
+            if cand is None:
+                continue
+            loops_detected.append(
+                {"query": kf.frame_id, "candidate": cand_frame_id, "bow_score": score}
+            )
+            logger.info(
+                "loop candidate", extra={"query": kf.frame_id, "candidate": cand_frame_id}
+            )
+            verified = _verify_loop(system, cand, kf, config)
+            if verified is None:
+                continue
+            rel, inliers, ratio = verified
+            loops_accepted.append(
+                {
+                    "query": kf.frame_id,
+                    "candidate": cand_frame_id,
+                    "inliers": inliers,
+                    "inlier_ratio": ratio,
+                }
+            )
+            # Pose-graph correction over the keyframe chain (ref L650-655).
+            kfs = system.keyframes.keyframes
+            graph = PoseGraph3D.from_pose_matrices([k.pose for k in kfs])
+            id_to_node = {k.frame_id: idx for idx, k in enumerate(kfs)}
+            graph.add_loop_matrix(
+                id_to_node[cand_frame_id], id_to_node[kf.frame_id], rel, weight=5.0
+            )
+            graph.optimize(SolverConfig(max_iterations=15, damping=1e-4))
+            corrected = graph.poses()
+            for k, kf_obj in enumerate(kfs):
+                kf_obj.pose = corrected[k]
+            system._pose = corrected[-1].copy()
+            if animator is not None:
+                animator.set_optimized([(p[0, 3], p[2, 3]) for p in corrected])
+                animator.add_loop_edge(id_to_node[cand_frame_id], id_to_node[kf.frame_id])
+            logger.info(
+                "loop accepted",
+                extra={"query": kf.frame_id, "candidate": cand_frame_id, "inliers": inliers},
+            )
+
+    result = system.finalize_run()
+    summary: Dict[str, Any] = {
+        "run_dir": str(result.run_dir),
+        "frames": result.num_frames,
+        "keyframes": result.num_keyframes,
+        "failures": result.num_failures,
+        "loops_detected": loops_detected,
+        "loops_accepted": loops_accepted,
+    }
+    if config.ground_truth_path is not None:
+        from mvslam_tpu.eval.trajectory import (
+            compute_additional_metrics,
+            load_trajectory_file,
+            positions_from_poses,
+        )
+
+        gt = load_trajectory_file(config.ground_truth_path, "kitti_odom")
+        est = positions_from_poses(np.stack(system.trajectory.poses))
+        summary["metrics"] = compute_additional_metrics(est, gt)
+    if animator is not None:
+        animator.stop()
+    (result.run_dir / "offline_summary.json").write_text(
+        json.dumps(summary, indent=2, sort_keys=True, default=str)
+    )
+    return summary
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    parser = argparse.ArgumentParser(description="Offline visual SLAM demo (TPU)")
+    parser.add_argument("--input", type=Path, required=True)
+    parser.add_argument("--kind", choices=["kitti", "images", "video"], default="kitti")
+    parser.add_argument("--sequence", default="00")
+    parser.add_argument("--max-frames", type=int, default=None)
+    parser.add_argument("--output-root", type=Path, default=Path("runs"))
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--no-loop-closure", action="store_true")
+    parser.add_argument("--loop-threshold", type=float, default=0.75)
+    parser.add_argument("--loop-min-gap", type=int, default=30)
+    parser.add_argument("--loop-min-inliers", type=int, default=30)
+    parser.add_argument("--dynamic-masking", action="store_true")
+    parser.add_argument("--local-ba", action="store_true")
+    parser.add_argument("--ground-truth", type=Path, default=None)
+    parser.add_argument("--animate", action="store_true")
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    summary = run_visual_slam(
+        SLAMRunConfig(
+            input_path=args.input,
+            input_kind=args.kind,
+            sequence=args.sequence,
+            max_frames=args.max_frames,
+            output_root=args.output_root,
+            seed=args.seed,
+            enable_loop_closure=not args.no_loop_closure,
+            loop_similarity_threshold=args.loop_threshold,
+            loop_min_frame_gap=args.loop_min_gap,
+            loop_min_inliers=args.loop_min_inliers,
+            enable_dynamic_masking=args.dynamic_masking,
+            enable_local_ba=args.local_ba,
+            ground_truth_path=args.ground_truth,
+            enable_animation=args.animate,
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "frames": summary["frames"],
+                "keyframes": summary["keyframes"],
+                "loops_accepted": len(summary["loops_accepted"]),
+                "run_dir": summary["run_dir"],
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

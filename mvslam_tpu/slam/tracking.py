@@ -173,6 +173,58 @@ def track_window(
     return feats, track
 
 
+@partial(jax.jit, static_argnames=("feature_config", "pose_config"))
+def match_and_estimate(
+    key,
+    prev_features: FeatureSet,
+    cur_features: FeatureSet,
+    K: jnp.ndarray,
+    feature_config: FeaturePipelineConfig,
+    pose_config: RobustPoseEstimatorConfig,
+) -> TrackResult:
+    """Match two pre-extracted feature sets + dual-model pose (one program).
+
+    The control-plane async path (``SLAMSystem.run_stream_async``) computes
+    features out-of-order via the feature plane, then runs this fused
+    match+pose step once results are sequenced — the reference's
+    ``_process_frame_with_features`` (slam_api.py:227-325) split.
+    """
+    _, _, match_cfg = _configs(feature_config)
+    result = match_descriptors(
+        prev_features.descriptors,
+        prev_features.valid,
+        cur_features.descriptors,
+        cur_features.valid,
+        match_cfg,
+    )
+    selected = select_matches(result, max_matches=feature_config.max_matches)
+    p1, p2 = gather_matched_points(prev_features.xy, cur_features.xy, selected)
+    pose = estimate_pose_device(key, p1, p2, selected.valid, K, pose_config)
+    return TrackResult(
+        pose=pose,
+        matched_p1=p1,
+        matched_p2=p2,
+        match_mask=selected.valid,
+        match_distances=selected.distances,
+        num_matches=selected.num_valid.astype(jnp.int32),
+        num_features=jnp.sum(cur_features.valid).astype(jnp.int32),
+    )
+
+
+def feature_set_from_arrays(xy, descriptors, valid) -> FeatureSet:
+    """Wrap host arrays (e.g. a FeatureResult) as a FeatureSet pytree."""
+    import numpy as np
+
+    n = len(valid)
+    return FeatureSet(
+        xy=jnp.asarray(xy, jnp.float32),
+        scores=jnp.zeros((n,), jnp.float32),
+        descriptors=jnp.asarray(descriptors, jnp.uint32),
+        angles=jnp.zeros((n,), jnp.float32),
+        valid=jnp.asarray(valid),
+    )
+
+
 def pull_scalars(track: TrackResult) -> dict:
     """One small host transfer: every scalar the host control flow needs."""
     pose = track.pose

@@ -10,6 +10,7 @@ from pathlib import Path
 
 # The axon kernel env presets JAX_PLATFORMS=axon — override, don't setdefault.
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["MVSLAM_JAX_CACHE_DIR"] = ""  # XLA:CPU AOT cache mismatches across machines
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -29,8 +29,14 @@ def write_fake_kitti(root: Path, num_frames=5, h=96, w=128, shift=4, seed=0):
         x = rng.integers(22, base.shape[1] - 28)
         s = rng.integers(3, 7)
         base[y : y + s, x : x + s] = rng.uniform(140, 255)
+    # Two depth layers (top shifts at half speed): uniform shift is
+    # rotation-degenerate (translation unobservable, cheirality gate trips);
+    # layered parallax makes the synthetic motion geometrically observable.
+    half = h // 2
     for i in range(num_frames):
-        frame = base[:, i * shift : i * shift + w].astype(np.uint8)
+        top = base[:half, (i * shift) // 2 : (i * shift) // 2 + w]
+        bottom = base[half:, i * shift : i * shift + w]
+        frame = np.concatenate([top, bottom], axis=0).astype(np.uint8)
         Image.fromarray(frame, mode="L").save(img_dir / f"{i:06d}.png")
     (seq_dir / "times.txt").write_text("\n".join(f"{0.1 * i:.6f}" for i in range(num_frames)))
     fx = 100.0
