@@ -135,6 +135,84 @@ class KittiSequence:
         return idx if (after - timestamp) < (timestamp - before) else idx - 1
 
 
+@dataclass
+class SyncReport:
+    """Parity: ``kitti_dataset.py:262-431`` sync report."""
+
+    matched: int = 0
+    dropped_primary: int = 0
+    dropped_secondary: int = 0
+    max_time_offset_s: float = 0.0
+    method: str = "timestamp"
+
+    def to_dict(self) -> Dict[str, float]:
+        return {
+            "matched": self.matched,
+            "dropped_primary": self.dropped_primary,
+            "dropped_secondary": self.dropped_secondary,
+            "max_time_offset_s": self.max_time_offset_s,
+            "method": self.method,
+        }
+
+
+class MultiCameraKittiSequence:
+    """Synchronised multi-camera access over one KITTI sequence.
+
+    Parity: ``kitti_dataset.py:262-431`` — timestamp matching with a
+    tolerance (or index matching as fallback) across cameras, emitting a
+    sync report; plus rig calibration via :class:`data.camera_rig.CameraRig`.
+    """
+
+    def __init__(self, root: Path, sequence: str = "00", cameras: tuple = (0, 1)) -> None:
+        self.sequences = {cam: KittiSequence(root, sequence, cam) for cam in cameras}
+        self.cameras = tuple(cameras)
+
+    def rig(self):
+        from mvslam_tpu.data.camera_rig import CameraRig
+
+        primary = self.sequences[self.cameras[0]]
+        return CameraRig.from_kitti_calibration(primary.calib)
+
+    def synchronize(
+        self, tolerance_s: float = 0.01, method: str = "timestamp"
+    ) -> tuple:
+        """Returns (list of {camera: frame_index} dicts, SyncReport)."""
+        primary_cam = self.cameras[0]
+        primary = self.sequences[primary_cam]
+        report = SyncReport(method=method)
+        matched: List[Dict[int, int]] = []
+        if method == "index":
+            n = min(len(self.sequences[c]) for c in self.cameras)
+            for i in range(n):
+                matched.append({c: i for c in self.cameras})
+            report.matched = n
+            report.dropped_primary = len(primary) - n
+            return matched, report
+        for i, ts in enumerate(primary.timestamps[: len(primary)]):
+            entry = {primary_cam: i}
+            ok = True
+            worst = 0.0
+            for cam in self.cameras[1:]:
+                seq = self.sequences[cam]
+                j = seq.nearest_frame(ts)
+                offset = abs(seq.timestamps[j] - ts) if j < len(seq.timestamps) else float("inf")
+                if offset > tolerance_s:
+                    ok = False
+                    break
+                worst = max(worst, offset)
+                entry[cam] = j
+            if ok:
+                matched.append(entry)
+                report.matched += 1
+                report.max_time_offset_s = max(report.max_time_offset_s, worst)
+            else:
+                report.dropped_primary += 1
+        for cam in self.cameras[1:]:
+            used = {m[cam] for m in matched}
+            report.dropped_secondary += len(self.sequences[cam]) - len(used)
+        return matched, report
+
+
 def load_ground_truth_poses(path: Path) -> np.ndarray:
     """KITTI odometry poses file: each line 12 floats (3x4 row-major) → (N, 4, 4)."""
     rows = []

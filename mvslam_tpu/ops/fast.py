@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +44,7 @@ class FastConfig:
     nms_radius: int = 1  # 3x3 NMS window
     border_margin: int = 19  # keep clear of the 31px BRIEF patch + blur
     grid_cells: int = 0  # 0 = global top-K; else GxG cell-balanced selection
+    use_pallas: Optional[bool] = None  # None = auto (Pallas on TPU backends)
 
 
 def _circle_stack(image: jnp.ndarray) -> jnp.ndarray:
@@ -147,7 +148,17 @@ def detect_keypoints(
     coordinates, scores (N,), valid (N,) bool. Invalid slots hold (0, 0)
     with score 0. vmap over a leading frame axis for batched detection.
     """
-    score = fast_score_map(image, config.threshold)
+    use_pallas = config.use_pallas
+    if use_pallas is None:
+        from mvslam_tpu.ops.pallas_fast import pallas_available
+
+        use_pallas = pallas_available()
+    if use_pallas:
+        from mvslam_tpu.ops.pallas_fast import fast_score_map_pallas
+
+        score = fast_score_map_pallas(image.astype(jnp.float32), float(config.threshold))
+    else:
+        score = fast_score_map(image, config.threshold)
     score = _nms(score, config.nms_radius)
     score = _mask_border(score, config.border_margin)
     h, w = score.shape

@@ -345,3 +345,40 @@ class TestReadiness:
     def test_unknown_sections(self):
         report = generate_readiness_report()
         assert report["status"] == "unknown"
+
+
+class TestIntrinsicsEstimation:
+    def test_focal_from_vanishing_points(self):
+        import numpy as np
+        from mvslam_tpu.frontend.intrinsics import (
+            estimate_focal_from_line_pairs,
+            estimate_focal_from_vanishing_points,
+        )
+
+        f, c = 500.0, np.array([320.0, 240.0])
+        # Two orthogonal directions d1, d2 → vanishing points c + f * (dx/dz, dy/dz)
+        d1 = np.array([1.0, 0.0, 0.5]); d1 /= np.linalg.norm(d1)
+        d2 = np.array([-0.5, 0.0, 1.0]); d2 /= np.linalg.norm(d2)
+        assert abs(d1 @ d2) < 1e-9
+        v1 = c + f * d1[:2] / d1[2]
+        v2 = c + f * d2[:2] / d2[2]
+        est = estimate_focal_from_vanishing_points(v1, v2, c)
+        assert est == pytest.approx(f, rel=1e-6)
+        # From line segments converging at those vanishing points:
+        def family(v):
+            segs = []
+            for start in ([0.0, 0.0], [100.0, 300.0], [50.0, 400.0]):
+                p1 = np.asarray(start)
+                direction = v - p1
+                segs.append((p1, p1 + 0.3 * direction))
+            return segs
+
+        est2 = estimate_focal_from_line_pairs(family(v1), family(v2), c)
+        assert est2 == pytest.approx(f, rel=1e-3)
+
+    def test_degenerate_returns_none(self):
+        import numpy as np
+        from mvslam_tpu.frontend.intrinsics import estimate_focal_from_vanishing_points
+
+        c = np.array([0.0, 0.0])
+        assert estimate_focal_from_vanishing_points([1.0, 0.0], [2.0, 0.0], c) is None

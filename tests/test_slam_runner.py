@@ -166,3 +166,36 @@ class TestRunner:
         assert diags[2]["injected_loss"]
         metrics = json.loads(result.metrics_path.read_text())
         assert metrics["determinism"]["config_hash"] != ""
+
+
+class TestMultiCamera:
+    def _rig_dataset(self, tmp_path):
+        root = write_fake_kitti(tmp_path / "kitti")
+        seq_dir = root / "sequences" / "00"
+        # Second camera: copy images with slightly offset timestamps.
+        import shutil
+
+        img1 = seq_dir / "image_1"
+        shutil.copytree(seq_dir / "image_0", img1)
+        return root
+
+    def test_synchronize_by_timestamp(self, tmp_path):
+        from mvslam_tpu.data.kitti import MultiCameraKittiSequence
+
+        root = self._rig_dataset(tmp_path)
+        multi = MultiCameraKittiSequence(root, "00", cameras=(0, 1))
+        matched, report = multi.synchronize(tolerance_s=0.01)
+        assert report.matched == 5
+        assert all(m[0] == m[1] for m in matched)
+        rig = multi.rig()
+        assert rig.baseline("P0", "P1") > 0
+        assert rig.validate().ok
+
+    def test_synchronize_by_index(self, tmp_path):
+        from mvslam_tpu.data.kitti import MultiCameraKittiSequence
+
+        root = self._rig_dataset(tmp_path)
+        multi = MultiCameraKittiSequence(root, "00", cameras=(0, 1))
+        matched, report = multi.synchronize(method="index")
+        assert report.method == "index"
+        assert report.matched == 5
