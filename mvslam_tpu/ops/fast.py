@@ -44,7 +44,7 @@ class FastConfig:
     nms_radius: int = 1  # 3x3 NMS window
     border_margin: int = 19  # keep clear of the 31px BRIEF patch + blur
     grid_cells: int = 0  # 0 = global top-K; else GxG cell-balanced selection
-    use_pallas: Optional[bool] = None  # None = auto (Pallas on TPU backends)
+    use_pallas: bool = False  # opt-in Pallas score kernel (XLA measured faster)
 
 
 def _circle_stack(image: jnp.ndarray) -> jnp.ndarray:
@@ -148,11 +148,10 @@ def detect_keypoints(
     coordinates, scores (N,), valid (N,) bool. Invalid slots hold (0, 0)
     with score 0. vmap over a leading frame axis for batched detection.
     """
-    use_pallas = config.use_pallas
-    if use_pallas is None:
-        from mvslam_tpu.ops.pallas_fast import pallas_available
-
-        use_pallas = pallas_available()
+    # Measured on v5e (50-iteration in-program loop, 370x1226): XLA 0.87
+    # ms/frame vs Pallas 1.19 ms/frame — XLA's fusion of this stencil wins,
+    # so the Pallas kernel stays opt-in (use_pallas=True) rather than auto.
+    use_pallas = bool(config.use_pallas)
     if use_pallas:
         from mvslam_tpu.ops.pallas_fast import fast_score_map_pallas
 

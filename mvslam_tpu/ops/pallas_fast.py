@@ -12,9 +12,16 @@ Halo handling: Pallas Blocked indexing cannot express overlapping blocks,
 so the kernel takes TWO views of the padded image — block ``i`` and block
 ``i+1`` — and stitches the 2·HALO halo rows from the second view.
 
-Numerics match ``fast_score_map`` exactly (same taps, same SAD-above-
-threshold score). ``ops.fast`` dispatches here on TPU backends and falls
-back to the XLA path elsewhere.
+Numerics match ``fast_score_map`` to float rounding (same taps, same SAD-
+above-threshold score).
+
+Measured on v5e (50-iteration in-program loop, 370x1226 frames): this
+kernel runs at 1.19 ms/frame vs 0.87 ms/frame for the XLA formulation —
+XLA's fusion of the 16-tap stencil plus cumsum arc test is already near
+the HBM roofline, and the kernel's unrolled 144-way window-AND costs more
+VPU work than the cumsum trick. It therefore stays **opt-in**
+(``FastConfig(use_pallas=True)``) as the template for future fused
+detect+describe work rather than the default path.
 """
 
 from __future__ import annotations

@@ -257,3 +257,33 @@ class TestRansac:
         assert float(th) == pytest.approx(2.0)  # 50/25 = 2, clipped max
         th_empty = adaptive_ransac_threshold(1.0, p1, p2, jnp.zeros(10, dtype=bool))
         assert float(th_empty) == pytest.approx(1.0)
+
+
+class TestPallasFast:
+    def test_pallas_matches_xla_interior(self):
+        """Pallas score kernel ≈ XLA formulation away from borders
+        (interpret mode on CPU; compiled path covered on TPU)."""
+        import jax
+        from jax.experimental.pallas import tpu as pltpu
+
+        from mvslam_tpu.ops.pallas_fast import fast_score_map_pallas
+
+        img = jnp.asarray(textured_image(h=96, w=160))
+        ref = np.asarray(fast_score_map(img, 20.0))
+        with pltpu.force_tpu_interpret_mode():
+            pal = np.asarray(fast_score_map_pallas(img, 20.0))
+        inner = (slice(8, -8), slice(8, -8))
+        assert np.abs(ref[inner] - pal[inner]).max() < 1e-2
+
+    def test_detect_with_pallas_flag(self):
+        """FastConfig(use_pallas=True) produces the same keypoints."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        img = jnp.asarray(textured_image(h=96, w=160))
+        xy_ref, _, valid_ref = detect_keypoints(img, num_keypoints=64, config=FastConfig())
+        with pltpu.force_tpu_interpret_mode():
+            xy_pal, _, valid_pal = detect_keypoints(
+                img, num_keypoints=64, config=FastConfig(use_pallas=True)
+            )
+        assert np.array_equal(np.asarray(valid_ref), np.asarray(valid_pal))
+        assert np.array_equal(np.asarray(xy_ref[valid_ref]), np.asarray(xy_pal[valid_pal]))
