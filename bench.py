@@ -23,7 +23,7 @@ import numpy as np
 
 NUM_FRAMES = 97
 WARMUP = 3
-WINDOW = 8
+WINDOW = 16
 H, W = 370, 1226
 FALLBACK_CPU_BASELINE_FPS = 12.0  # recorded cv2 path on this host (see BASELINE.md)
 
@@ -69,12 +69,15 @@ def bench_tpu(frames, window: int = WINDOW) -> float:
     pull_scalars(track)
     prev = jax.tree.map(lambda a: a[-1], feats)
 
-    # Steady state: prefetch window i+1 (async H2D) BEFORE pulling window
-    # i's scalars, overlapping the tunnel transfer with device compute.
+    # Depth-2 pipeline: window i+1 is DISPATCHED (its prev-features input is
+    # a device-side dependency, never pulled) before window i's scalars are
+    # fetched, so the ~70 ms device→host round trip of each pull rides out
+    # window i+1's compute instead of serialising after it.
     starts = list(range(1, len(host_frames) - window + 1, window))
     start_t = time.perf_counter()
     tracked = 0
     next_chunk = jax.device_put(np.stack(host_frames[starts[0] : starts[0] + window]))
+    pending_track = None
     for si, start in enumerate(starts):
         chunk = next_chunk
         feats, track = dispatch(prev, chunk, start)
@@ -82,8 +85,12 @@ def bench_tpu(frames, window: int = WINDOW) -> float:
         if si + 1 < len(starts):
             nxt = starts[si + 1]
             next_chunk = jax.device_put(np.stack(host_frames[nxt : nxt + window]))
-        bundle = pull_scalars(track)
-        tracked += int((bundle["num_matches"] > 0).sum())
+        if pending_track is not None:
+            bundle = pull_scalars(pending_track)
+            tracked += int((bundle["num_matches"] > 0).sum())
+        pending_track = track
+    bundle = pull_scalars(pending_track)
+    tracked += int((bundle["num_matches"] > 0).sum())
     elapsed = time.perf_counter() - start_t
     frames_done = len(starts) * window
     assert tracked == frames_done, f"tracking broke: {tracked}/{frames_done}"

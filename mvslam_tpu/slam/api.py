@@ -402,31 +402,12 @@ class SLAMSystem:
                 chunk.append(chunk[-1])
             return jax.device_put(np.stack(chunk)), real
 
-        staged = stage(pos) if pos < len(frames) else None
-        while pos < len(frames):
-            frames_dev, real = staged
-            chunk_ts = ts[pos : pos + window]
-            start_id = self._frame_count
-            with timed_event(
-                self.telemetry, "track_window", metadata={"start": start_id, "size": real}
-            ):
-                feats, track = track_window(
-                    self._track_key,
-                    self._prev_features,
-                    frames_dev,
-                    self._K_dev,
-                    self.config.feature,
-                    self.config.pose,
-                    start_index=jnp.asarray(start_id, dtype=jnp.int32),
-                )
-                # Prefetch the next window while this one computes: the
-                # async H2D copy rides out the device time instead of
-                # serialising after the scalar pull (big win on a tunnel).
-                staged = stage(pos + real) if pos + real < len(frames) else None
-                bundle = pull_scalars(track)  # every field has leading dim B
+        def process(inflight) -> None:
+            """Pull one window's scalars and run the per-frame host logic."""
+            feats, track, chunk_ts, start_id, real = inflight
+            bundle = pull_scalars(track)  # every field has leading dim B
             for i in range(real):
-                frame_id = self._frame_count
-                self._frame_count += 1
+                frame_id = start_id + i
                 diag = FrameDiagnostics(
                     frame_id=frame_id,
                     timestamp=float(chunk_ts[i]),
@@ -437,8 +418,41 @@ class SLAMSystem:
                 with timed_event(self.telemetry, "frame_process", metadata={"frame_id": frame_id}):
                     self._handle_tracked_frame(frame_id, chunk_ts[i], diag, scalars_i, features_i)
                 diags.append(diag)
-            self._prev_features = jax.tree.map(lambda a: a[real - 1], feats)
-            pos += real
+
+        # Depth-2 pipeline: dispatch window i+1 (its prev-features input is
+        # a device-side dependency — never fetched) BEFORE processing window
+        # i, so each pull's device→host round trip rides out the next
+        # window's compute. Host bookkeeping (gates, keyframes,
+        # relocalization) lags the device by one window; device state never
+        # depends on it.
+        staged = stage(pos) if pos < len(frames) else None
+        inflight = None
+        while pos < len(frames) or inflight is not None:
+            new_inflight = None
+            if pos < len(frames):
+                frames_dev, real = staged
+                chunk_ts = ts[pos : pos + real]
+                start_id = self._frame_count
+                self._frame_count += real
+                with timed_event(
+                    self.telemetry, "track_window", metadata={"start": start_id, "size": real}
+                ):
+                    feats, track = track_window(
+                        self._track_key,
+                        self._prev_features,
+                        frames_dev,
+                        self._K_dev,
+                        self.config.feature,
+                        self.config.pose,
+                        start_index=jnp.asarray(start_id, dtype=jnp.int32),
+                    )
+                self._prev_features = jax.tree.map(lambda a, r=real: a[r - 1], feats)
+                pos += real
+                staged = stage(pos) if pos < len(frames) else None
+                new_inflight = (feats, track, chunk_ts, start_id, real)
+            if inflight is not None:
+                process(inflight)
+            inflight = new_inflight
         return diags
 
     def run_stream(self, packets: Iterable[FramePacket]) -> List[FrameDiagnostics]:

@@ -19,6 +19,7 @@ from functools import partial
 from typing import NamedTuple, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from mvslam_tpu.frontend.feature_pipeline import FeaturePipelineConfig, FeatureSet
@@ -38,6 +39,37 @@ from mvslam_tpu.ops.hamming import (
 from mvslam_tpu.ops.image import gaussian_blur, rgb_to_gray
 
 
+_SCALAR_FIELDS = (
+    "use_essential",
+    "num_inliers",
+    "inlier_ratio",
+    "median_parallax_deg",
+    "cheirality_ratio",
+    "score",
+    "essential_score",
+    "homography_score",
+    "median_displacement_px",
+    "num_valid_matches",
+)
+
+
+def _pack_values(pose: DevicePoseResult, num_matches, num_features) -> jnp.ndarray:
+    """Flatten every host-needed scalar into ONE f32 array (..., 24).
+
+    Computed INSIDE the tracking program so the host fetch is a single
+    already-materialised transfer. A pytree ``device_get`` issues one
+    transfer per leaf — ~70 ms round trip each on a tunneled chip — and a
+    separate packing call would enqueue behind the *next* window's
+    compute; in-program packing avoids both.
+    """
+    parts = [pose.rotation.reshape(*pose.rotation.shape[:-2], 9), pose.translation]
+    for name in _SCALAR_FIELDS:
+        parts.append(getattr(pose, name).astype(jnp.float32)[..., None])
+    parts.append(num_matches.astype(jnp.float32)[..., None])
+    parts.append(num_features.astype(jnp.float32)[..., None])
+    return jnp.concatenate([p.astype(jnp.float32) for p in parts], axis=-1)
+
+
 class TrackResult(NamedTuple):
     """Per-frame device outputs (small: one cheap transfer per frame)."""
 
@@ -48,6 +80,7 @@ class TrackResult(NamedTuple):
     match_distances: jnp.ndarray  # (M,)
     num_matches: jnp.ndarray  # () int32
     num_features: jnp.ndarray  # () int32 valid keypoints in new frame
+    scalars_packed: jnp.ndarray  # (..., 24) f32 — see _pack_values
 
 
 def _configs(feature_config: FeaturePipelineConfig):
@@ -106,6 +139,9 @@ def track_frame(
         match_distances=selected.distances,
         num_matches=selected.num_valid.astype(jnp.int32),
         num_features=jnp.sum(valid).astype(jnp.int32),
+        scalars_packed=_pack_values(
+            pose, selected.num_valid.astype(jnp.int32), jnp.sum(valid).astype(jnp.int32)
+        ),
     )
     return features, track
 
@@ -167,6 +203,9 @@ def track_window(
             match_distances=selected.distances,
             num_matches=selected.num_valid.astype(jnp.int32),
             num_features=jnp.sum(f2.valid).astype(jnp.int32),
+            scalars_packed=_pack_values(
+                pose, selected.num_valid.astype(jnp.int32), jnp.sum(f2.valid).astype(jnp.int32)
+            ),
         )
 
     track = jax.vmap(track_pair)(keys, src, feats)
@@ -208,6 +247,11 @@ def match_and_estimate(
         match_distances=selected.distances,
         num_matches=selected.num_valid.astype(jnp.int32),
         num_features=jnp.sum(cur_features.valid).astype(jnp.int32),
+        scalars_packed=_pack_values(
+            pose,
+            selected.num_valid.astype(jnp.int32),
+            jnp.sum(cur_features.valid).astype(jnp.int32),
+        ),
     )
 
 
@@ -225,25 +269,21 @@ def feature_set_from_arrays(xy, descriptors, valid) -> FeatureSet:
     )
 
 
+
+
 def pull_scalars(track: TrackResult) -> dict:
-    """One small host transfer: every scalar the host control flow needs."""
-    pose = track.pose
-    bundle = jax.device_get(
-        {
-            "rotation": pose.rotation,
-            "translation": pose.translation,
-            "use_essential": pose.use_essential,
-            "num_inliers": pose.num_inliers,
-            "inlier_ratio": pose.inlier_ratio,
-            "median_parallax_deg": pose.median_parallax_deg,
-            "cheirality_ratio": pose.cheirality_ratio,
-            "score": pose.score,
-            "essential_score": pose.essential_score,
-            "homography_score": pose.homography_score,
-            "median_displacement_px": pose.median_displacement_px,
-            "num_matches": track.num_matches,
-            "num_features": track.num_features,
-            "num_valid_matches": pose.num_valid_matches,
-        }
-    )
-    return bundle
+    """One host transfer: every scalar the host control flow needs.
+
+    Works for both single-frame (fields shaped ()) and windowed (fields
+    shaped (B,)) results; returned dict values mirror those shapes.
+    """
+    packed = np.asarray(track.scalars_packed)  # (..., 24)
+    rotation = packed[..., :9].reshape(*packed.shape[:-1], 3, 3)
+    translation = packed[..., 9:12]
+    out = {"rotation": rotation, "translation": translation}
+    for k, name in enumerate(_SCALAR_FIELDS):
+        out[name] = packed[..., 12 + k]
+    out["num_matches"] = packed[..., 22]
+    out["num_features"] = packed[..., 23]
+    out["use_essential"] = out["use_essential"] > 0.5
+    return out
