@@ -17,8 +17,6 @@ from typing import Callable, List, Optional
 
 import numpy as np
 
-from mvslam_tpu.geometry.lie import rotation_angle_deg
-import jax.numpy as jnp
 
 
 @dataclass
@@ -78,7 +76,10 @@ class KeyframeManager:
         last = self.keyframes[-1].pose
         rel = np.linalg.inv(last) @ pose
         translation = float(np.linalg.norm(rel[:3, 3]))
-        rotation = float(rotation_angle_deg(jnp.asarray(rel[:3, :3], dtype=jnp.float32)))
+        # Pure-numpy geodesic angle: this policy runs per FRAME on the host;
+        # a jnp op here would cost a device round trip per frame.
+        cos_theta = np.clip((np.trace(rel[:3, :3]) - 1.0) * 0.5, -1.0, 1.0)
+        rotation = float(np.degrees(np.arccos(cos_theta)))
         return (
             translation >= self.config.min_translation
             or rotation >= self.config.min_rotation_deg

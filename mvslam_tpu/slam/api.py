@@ -197,7 +197,18 @@ class SLAMSystem:
                 diag.num_features = num_feat
                 diag.pose_success = True
                 diag.model_type = "bootstrap"
-                self._record_frame(frame_id, timestamp, diag, 1.0, self._prev_features)
+                feats = self._prev_features
+                self._record_frame(
+                    frame_id,
+                    timestamp,
+                    diag,
+                    1.0,
+                    lambda: (
+                        np.asarray(feats.xy),
+                        np.asarray(feats.descriptors),
+                        np.asarray(feats.valid),
+                    ),
+                )
                 return diag
 
             key = jax.random.fold_in(self._track_key, frame_id)
@@ -213,12 +224,23 @@ class SLAMSystem:
                 scalars = pull_scalars(track)
 
             self._prev_features = features
-            self._handle_tracked_frame(frame_id, timestamp, diag, scalars, features)
+
+            def provider():
+                from mvslam_tpu.slam.tracking import pull_features
+
+                return pull_features(track)
+
+            self._handle_tracked_frame(frame_id, timestamp, diag, scalars, provider)
         return diag
 
-    def _handle_tracked_frame(self, frame_id, timestamp, diag, scalars, features) -> None:
+    def _handle_tracked_frame(self, frame_id, timestamp, diag, scalars, features_provider) -> None:
         """Host control flow shared by the single-frame and windowed paths:
-        gates → pose chain update / failure + relocalization → keyframes."""
+        gates → pose chain update / failure + relocalization → keyframes.
+
+        ``features_provider()`` lazily returns numpy ``(xy, descriptors,
+        valid)`` — fetched from device only when a keyframe or
+        relocalization actually needs them (device→host round trips are
+        the dominant cost on a tunneled chip)."""
         diag.num_features = int(scalars["num_features"])
         diag.num_matches = int(scalars["num_matches"])
         diag.num_inliers = int(scalars["num_inliers"])
@@ -261,27 +283,27 @@ class SLAMSystem:
                 extra={"frame_id": frame_id, "reason": failure.reason},
             )
             if self.config.enable_relocalization:
-                diag.relocalized = self._attempt_relocalization(frame_id, features, diag)
+                diag.relocalized = self._attempt_relocalization(frame_id, features_provider, diag)
 
         match_ratio = diag.num_matches / max(diag.num_features, 1)
-        self._record_frame(frame_id, timestamp, diag, match_ratio, features)
+        self._record_frame(frame_id, timestamp, diag, match_ratio, features_provider)
 
     def _record_frame(
-        self, frame_id: int, timestamp: float, diag: FrameDiagnostics, match_ratio: float, features
+        self,
+        frame_id: int,
+        timestamp: float,
+        diag: FrameDiagnostics,
+        match_ratio: float,
+        features_provider,
     ) -> None:
         self.trajectory.append(frame_id, timestamp, self._pose)
-        if diag.pose_success and features is not None:
+        if diag.pose_success and features_provider is not None:
             # Feature arrays are pulled from device only when the policy
             # actually fires (cheap pre-check on pose + match ratio).
             if self.keyframes.should_add(self._pose, match_ratio):
+                xy, desc, valid = features_provider()
                 kf = self.keyframes.maybe_add(
-                    frame_id,
-                    timestamp,
-                    self._pose,
-                    match_ratio,
-                    np.asarray(features.xy),
-                    np.asarray(features.descriptors),
-                    np.asarray(features.valid),
+                    frame_id, timestamp, self._pose, match_ratio, xy, desc, valid
                 )
                 diag.is_keyframe = kf is not None
         self.diagnostics.append(diag)
@@ -338,7 +360,7 @@ class SLAMSystem:
             logger.warning("relocalizer construction failed", extra={"error": str(exc)})
             return False
 
-    def _attempt_relocalization(self, frame_id: int, features, diag: FrameDiagnostics) -> bool:
+    def _attempt_relocalization(self, frame_id: int, features_provider, diag: FrameDiagnostics) -> bool:
         """BoW candidate search + geometric verification; re-anchors pose.
 
         Parity: ``slam_api.py:735-781``.
@@ -348,11 +370,8 @@ class SLAMSystem:
         with timed_event(
             self.telemetry, "relocalization_search", metadata={"frame_id": frame_id}
         ) as meta:
-            hit = self._relocalizer.relocalize(
-                np.asarray(features.xy),
-                np.asarray(features.descriptors),
-                np.asarray(features.valid),
-            )
+            xy, desc, valid = features_provider()
+            hit = self._relocalizer.relocalize(xy, desc, valid)
             meta["success"] = hit is not None
             if hit is None:
                 return False
@@ -405,7 +424,17 @@ class SLAMSystem:
         def process(inflight) -> None:
             """Pull one window's scalars and run the per-frame host logic."""
             feats, track, chunk_ts, start_id, real = inflight
-            bundle = pull_scalars(track)  # every field has leading dim B
+            bundle = pull_scalars(track)  # ONE fetch covers scalars + features
+
+            def provider_for(i):
+                def provider():
+                    from mvslam_tpu.slam.tracking import pull_features
+
+                    xy, desc, valid = pull_features(track)
+                    return xy[i], desc[i], valid[i]
+
+                return provider
+
             for i in range(real):
                 frame_id = start_id + i
                 diag = FrameDiagnostics(
@@ -414,9 +443,10 @@ class SLAMSystem:
                     correlation_id=self.correlations.correlation_id("frame_process"),
                 )
                 scalars_i = {k: v[i] for k, v in bundle.items()}
-                features_i = jax.tree.map(lambda a, idx=i: a[idx], feats)
                 with timed_event(self.telemetry, "frame_process", metadata={"frame_id": frame_id}):
-                    self._handle_tracked_frame(frame_id, chunk_ts[i], diag, scalars_i, features_i)
+                    self._handle_tracked_frame(
+                        frame_id, chunk_ts[i], diag, scalars_i, provider_for(i)
+                    )
                 diags.append(diag)
 
         # Depth-2 pipeline: dispatch window i+1 (its prev-features input is
@@ -501,13 +531,14 @@ class SLAMSystem:
                 return
             fr = result.feature_result
             cur_fs = feature_set_from_arrays(fr.keypoints, fr.descriptors, fr.valid)
+            host_provider = lambda fr=fr: (fr.keypoints, fr.descriptors, fr.valid)
             if prev_fs is None:
                 diag.num_features = fr.num_features
                 diag.pose_success = True
                 diag.model_type = "bootstrap"
                 prev_fs = cur_fs
                 self._prev_features = cur_fs
-                self._record_frame(frame_id, result.timestamp, diag, 1.0, cur_fs)
+                self._record_frame(frame_id, result.timestamp, diag, 1.0, host_provider)
                 diags.append(diag)
                 return
             key = jax.random.fold_in(self._track_key, frame_id)
@@ -518,7 +549,7 @@ class SLAMSystem:
                 scalars = pull_scalars(track)
             prev_fs = cur_fs
             self._prev_features = cur_fs
-            self._handle_tracked_frame(frame_id, result.timestamp, diag, scalars, cur_fs)
+            self._handle_tracked_frame(frame_id, result.timestamp, diag, scalars, host_provider)
             diags.append(diag)
 
         try:

@@ -70,6 +70,51 @@ def _pack_values(pose: DevicePoseResult, num_matches, num_features) -> jnp.ndarr
     return jnp.concatenate([p.astype(jnp.float32) for p in parts], axis=-1)
 
 
+def _pack_features(feats: FeatureSet) -> jnp.ndarray:
+    """(…, N, 11) f32: [x, y, valid, desc-bits×8] — ONE fetchable buffer.
+
+    Keyframe creation needs keypoints + descriptors + validity on host;
+    fetching them as three pytree leaves costs three tunnel round trips
+    per keyframe. Descriptors are bitcast (bit-preserving) into f32 lanes
+    so everything travels as a single array.
+    """
+    desc_bits = jax.lax.bitcast_convert_type(feats.descriptors, jnp.float32)
+    return jnp.concatenate(
+        [feats.xy, feats.valid.astype(jnp.float32)[..., None], desc_bits], axis=-1
+    )
+
+
+def _pack_host_bundle(pose, num_matches, num_features, feats: FeatureSet) -> jnp.ndarray:
+    """(…, 24 + N·11) f32: scalars followed by flattened packed features.
+
+    Everything the host may need from a tracking step in ONE fetchable
+    buffer — a single device→host round trip per window covers pose
+    scalars, gate statistics, AND keyframe feature material.
+    """
+    scalars = _pack_values(pose, num_matches, num_features)
+    features = _pack_features(feats)
+    flat = features.reshape(*features.shape[:-2], features.shape[-2] * features.shape[-1])
+    return jnp.concatenate([scalars, flat], axis=-1)
+
+
+def unpack_features(packed: np.ndarray):
+    """Host-side inverse of :func:`_pack_features` → (xy, descriptors, valid)."""
+    packed = np.ascontiguousarray(packed, dtype=np.float32)
+    xy = packed[..., 0:2]
+    valid = packed[..., 2] > 0.5
+    desc = np.ascontiguousarray(packed[..., 3:11]).view(np.uint32)
+    return xy, desc, valid
+
+
+def split_host_bundle(bundle: np.ndarray):
+    """(…, 24 + N·11) → (scalars (…, 24), features (…, N, 11))."""
+    scalars = bundle[..., :24]
+    feat_flat = bundle[..., 24:]
+    n = feat_flat.shape[-1] // 11
+    features = feat_flat.reshape(*feat_flat.shape[:-1], n, 11)
+    return scalars, features
+
+
 class TrackResult(NamedTuple):
     """Per-frame device outputs (small: one cheap transfer per frame)."""
 
@@ -80,7 +125,7 @@ class TrackResult(NamedTuple):
     match_distances: jnp.ndarray  # (M,)
     num_matches: jnp.ndarray  # () int32
     num_features: jnp.ndarray  # () int32 valid keypoints in new frame
-    scalars_packed: jnp.ndarray  # (..., 24) f32 — see _pack_values
+    host_packed: jnp.ndarray  # (..., 24 + N*11) f32 — see _pack_host_bundle
 
 
 def _configs(feature_config: FeaturePipelineConfig):
@@ -139,8 +184,11 @@ def track_frame(
         match_distances=selected.distances,
         num_matches=selected.num_valid.astype(jnp.int32),
         num_features=jnp.sum(valid).astype(jnp.int32),
-        scalars_packed=_pack_values(
-            pose, selected.num_valid.astype(jnp.int32), jnp.sum(valid).astype(jnp.int32)
+        host_packed=_pack_host_bundle(
+            pose,
+            selected.num_valid.astype(jnp.int32),
+            jnp.sum(valid).astype(jnp.int32),
+            features,
         ),
     )
     return features, track
@@ -203,8 +251,11 @@ def track_window(
             match_distances=selected.distances,
             num_matches=selected.num_valid.astype(jnp.int32),
             num_features=jnp.sum(f2.valid).astype(jnp.int32),
-            scalars_packed=_pack_values(
-                pose, selected.num_valid.astype(jnp.int32), jnp.sum(f2.valid).astype(jnp.int32)
+            host_packed=_pack_host_bundle(
+                pose,
+                selected.num_valid.astype(jnp.int32),
+                jnp.sum(f2.valid).astype(jnp.int32),
+                f2,
             ),
         )
 
@@ -247,10 +298,11 @@ def match_and_estimate(
         match_distances=selected.distances,
         num_matches=selected.num_valid.astype(jnp.int32),
         num_features=jnp.sum(cur_features.valid).astype(jnp.int32),
-        scalars_packed=_pack_values(
+        host_packed=_pack_host_bundle(
             pose,
             selected.num_valid.astype(jnp.int32),
             jnp.sum(cur_features.valid).astype(jnp.int32),
+            cur_features,
         ),
     )
 
@@ -271,13 +323,34 @@ def feature_set_from_arrays(xy, descriptors, valid) -> FeatureSet:
 
 
 
+_HOST_BUNDLE_CACHE: dict = {}
+
+
+def pull_host_bundle(track: TrackResult) -> np.ndarray:
+    """Fetch the full host bundle ONCE per TrackResult (cached by id)."""
+    key = id(track.host_packed)
+    cached = _HOST_BUNDLE_CACHE.get(key)
+    if cached is None:
+        if len(_HOST_BUNDLE_CACHE) > 8:
+            _HOST_BUNDLE_CACHE.clear()
+        cached = np.asarray(track.host_packed)
+        _HOST_BUNDLE_CACHE[key] = cached
+    return cached
+
+
+def pull_features(track: TrackResult):
+    """Numpy (xy, descriptors, valid) of the tracked frame(s) — one fetch."""
+    _, features = split_host_bundle(pull_host_bundle(track))
+    return unpack_features(features)
+
+
 def pull_scalars(track: TrackResult) -> dict:
     """One host transfer: every scalar the host control flow needs.
 
     Works for both single-frame (fields shaped ()) and windowed (fields
     shaped (B,)) results; returned dict values mirror those shapes.
     """
-    packed = np.asarray(track.scalars_packed)  # (..., 24)
+    packed, _ = split_host_bundle(pull_host_bundle(track))  # (..., 24)
     rotation = packed[..., :9].reshape(*packed.shape[:-1], 3, 3)
     translation = packed[..., 9:12]
     out = {"rotation": rotation, "translation": translation}
