@@ -404,6 +404,51 @@ class RunDataStore:
             "metadata": self.run_dir / "maps" / f"{base}_metadata.json",
         }
 
+    # -- loaders + bundle validation ------------------------------------------
+
+    def load_frame_diagnostics(self, name: str) -> List[Dict[str, Any]]:
+        return self._load_json("diagnostics", name)
+
+    def load_telemetry(self, name: str) -> List[Dict[str, Any]]:
+        return self._load_json("telemetry", name)
+
+    def validate_bundle(self) -> Dict[str, Any]:
+        """Structural validation of the run bundle: required artifacts
+        present, loadable, and all determinism payloads consistent.
+
+        Parity: the reference's bundle + validation surface
+        (``data_persistence.py`` bundles).
+        """
+        issues: List[str] = []
+        seen_determinism: List[Dict[str, Any]] = []
+        traj_dir = self.run_dir / "trajectories"
+        trajectories = sorted(traj_dir.glob("*.npz")) if traj_dir.exists() else []
+        if not trajectories:
+            issues.append("no trajectory artifacts")
+        for path in trajectories:
+            try:
+                loaded = self.load_trajectory(path.stem)
+                if loaded["poses"].ndim != 3 or loaded["poses"].shape[1:] != (4, 4):
+                    issues.append(f"{path.name}: poses shape {loaded['poses'].shape}")
+                if len(loaded["timestamps"]) != len(loaded["poses"]):
+                    issues.append(f"{path.name}: timestamp/pose length mismatch")
+                seen_determinism.append(loaded["determinism"])
+            except Exception as exc:
+                issues.append(f"{path.name}: unreadable ({exc})")
+        for sub in ("metrics", "diagnostics", "telemetry", "reports"):
+            folder = self.run_dir / sub
+            for path in sorted(folder.glob("*.json")) if folder.exists() else []:
+                try:
+                    payload = json.loads(path.read_text())
+                except json.JSONDecodeError as exc:
+                    issues.append(f"{sub}/{path.name}: invalid JSON ({exc})")
+                    continue
+                if isinstance(payload, dict) and "determinism" in payload:
+                    seen_determinism.append(payload["determinism"])
+        if len({json.dumps(d, sort_keys=True) for d in seen_determinism}) > 1:
+            issues.append("inconsistent determinism payloads across artifacts")
+        return {"ok": not issues, "issues": issues, "artifacts": self.list_artifacts()}
+
     # -- discovery ------------------------------------------------------------
 
     def list_artifacts(self) -> Dict[str, List[str]]:

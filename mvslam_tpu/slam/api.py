@@ -400,26 +400,45 @@ class SLAMSystem:
         frame id, so any window size produces the identical trajectory.
         """
         ts = timestamps if timestamps is not None else [float(i) for i in range(len(frames))]
-        if window <= 1 or len(frames) <= 1:
-            return [self.process_frame(f, t) for f, t in zip(frames, ts)]
+        return self._run_windowed(zip(frames, ts), window)
+
+    def _run_windowed(self, pair_iter, window: int) -> List[FrameDiagnostics]:
+        """Windowed, depth-2-pipelined tracking over an iterator of
+        (frame, timestamp) pairs — shared by run_sequence and run_stream."""
+        pair_iter = iter(pair_iter)
+        if window <= 1:
+            return [self.process_frame(f, t) for f, t in pair_iter]
 
         from mvslam_tpu.slam.tracking import track_window
 
         diags: List[FrameDiagnostics] = []
-        pos = 0
         if self._prev_features is None:
-            diags.append(self.process_frame(frames[0], ts[0]))
-            pos = 1
+            first = next(pair_iter, None)
+            if first is None:
+                return diags
+            diags.append(self.process_frame(first[0], first[1]))
 
-        def stage(p):
-            """Async H2D upload of the window at position p (padded tail)."""
-            chunk = [np.asarray(f) for f in frames[p : p + window]]
+        exhausted = False
+
+        def stage():
+            """Pull up to `window` pairs from the iterator; async H2D upload."""
+            nonlocal exhausted
+            chunk, chunk_ts = [], []
+            for _ in range(window):
+                item = next(pair_iter, None)
+                if item is None:
+                    exhausted = True
+                    break
+                chunk.append(np.asarray(item[0]))
+                chunk_ts.append(float(item[1]))
+            if not chunk:
+                return None
             real = len(chunk)
             # Pad short tails to the window size (repeat last frame) so the
             # device program never recompiles; padded outputs are ignored.
             while len(chunk) < window:
                 chunk.append(chunk[-1])
-            return jax.device_put(np.stack(chunk)), real
+            return jax.device_put(np.stack(chunk)), chunk_ts, real
 
         def process(inflight) -> None:
             """Pull one window's scalars and run the per-frame host logic."""
@@ -455,13 +474,12 @@ class SLAMSystem:
         # window's compute. Host bookkeeping (gates, keyframes,
         # relocalization) lags the device by one window; device state never
         # depends on it.
-        staged = stage(pos) if pos < len(frames) else None
+        staged = stage()
         inflight = None
-        while pos < len(frames) or inflight is not None:
+        while staged is not None or inflight is not None:
             new_inflight = None
-            if pos < len(frames):
-                frames_dev, real = staged
-                chunk_ts = ts[pos : pos + real]
+            if staged is not None:
+                frames_dev, chunk_ts, real = staged
                 start_id = self._frame_count
                 self._frame_count += real
                 with timed_event(
@@ -477,17 +495,22 @@ class SLAMSystem:
                         start_index=jnp.asarray(start_id, dtype=jnp.int32),
                     )
                 self._prev_features = jax.tree.map(lambda a, r=real: a[r - 1], feats)
-                pos += real
-                staged = stage(pos) if pos < len(frames) else None
+                staged = stage() if not exhausted else None
                 new_inflight = (feats, track, chunk_ts, start_id, real)
             if inflight is not None:
                 process(inflight)
             inflight = new_inflight
         return diags
 
-    def run_stream(self, packets: Iterable[FramePacket]) -> List[FrameDiagnostics]:
-        """Parity: ``slam_api.py:364-374``."""
-        return [self.process_frame(p.frame, p.timestamp) for p in packets]
+    def run_stream(
+        self, packets: Iterable[FramePacket], window: int = 8
+    ) -> List[FrameDiagnostics]:
+        """Streamed tracking with the same windowed pipelined engine.
+
+        Parity: ``slam_api.py:364-374``; ``window=1`` gives the per-frame
+        latency path.
+        """
+        return self._run_windowed(((p.frame, p.timestamp) for p in packets), window)
 
     def run_stream_async(
         self,
