@@ -53,6 +53,7 @@ class FeaturePipelineConfig:
     cross_check: bool = True
     max_matches: int = 512  # ref: 500, rounded to lane multiple
     blur_sigma: float = 2.0
+    num_pyramid_levels: int = 1  # cv2 ORB uses 8; levels share the budget
 
     def __post_init__(self):
         if self.num_features <= 0:
@@ -63,6 +64,8 @@ class FeaturePipelineConfig:
             raise ValueError("max_matches must be positive")
         if self.detector not in ("fast_brief", "orb"):
             raise ValueError(f"unknown detector {self.detector!r}")
+        if self.num_pyramid_levels < 1:
+            raise ValueError("num_pyramid_levels must be >= 1")
 
 
 class FeatureSet(NamedTuple):
@@ -91,17 +94,20 @@ class MatchStats:
     max_distance: float
 
 
-@partial(jax.jit, static_argnames=("num_features", "fast_config", "brief_config"))
+@partial(jax.jit, static_argnames=("num_features", "fast_config", "brief_config", "num_levels"))
 def _detect_and_describe(
     frame: jnp.ndarray,
     num_features: int,
     fast_config: FastConfig,
     brief_config: BriefConfig,
+    num_levels: int = 1,
 ) -> FeatureSet:
+    from mvslam_tpu.ops.detect import detect_and_describe
+
     gray = rgb_to_gray(frame)
-    xy, scores, valid = detect_keypoints(gray, num_keypoints=num_features, config=fast_config)
-    blurred = gaussian_blur(gray, sigma=brief_config.blur_sigma, radius=brief_config.blur_radius)
-    desc, angles = describe_keypoints(blurred, xy, valid, config=brief_config)
+    xy, scores, desc, angles, valid = detect_and_describe(
+        gray, num_features, fast_config, brief_config, num_levels=num_levels
+    )
     return FeatureSet(xy, scores, desc, angles, valid)
 
 
@@ -131,6 +137,7 @@ class FeaturePipeline:
             self.config.num_features,
             self._fast_config,
             self._brief_config,
+            num_levels=self.config.num_pyramid_levels,
         )
 
     def detect_and_describe_batch(self, frames: jnp.ndarray) -> FeatureSet:
@@ -141,6 +148,7 @@ class FeaturePipeline:
             num_features=self.config.num_features,
             fast_config=self._fast_config,
             brief_config=self._brief_config,
+            num_levels=self.config.num_pyramid_levels,
         )
         return jax.vmap(fn)(jnp.asarray(frames))
 

@@ -78,6 +78,11 @@ def _load_frames(config: SLAMRunConfig):
         seq = KittiSequence(config.input_path, config.sequence)
         K = seq.camera_intrinsics()
         return seq.iter_frames(config.max_frames), K
+    if config.input_kind == "tum":
+        from mvslam_tpu.data.tum import TumSequence
+
+        seq = TumSequence(config.input_path)
+        return seq.iter_frames(config.max_frames), seq.camera_intrinsics()
     if config.input_kind == "images":
         from mvslam_tpu.geometry.projection import make_K_from_fov
         from mvslam_tpu.runtime.frame_stream import FrameStream
@@ -312,7 +317,7 @@ def run_visual_slam(config: SLAMRunConfig) -> Dict[str, Any]:
 def main(argv: Optional[List[str]] = None) -> int:
     parser = argparse.ArgumentParser(description="Offline visual SLAM demo (TPU)")
     parser.add_argument("--input", type=Path, required=True)
-    parser.add_argument("--kind", choices=["kitti", "images", "video"], default="kitti")
+    parser.add_argument("--kind", choices=["kitti", "tum", "images", "video"], default="kitti")
     parser.add_argument("--sequence", default="00")
     parser.add_argument("--max-frames", type=int, default=None)
     parser.add_argument("--output-root", type=Path, default=Path("runs"))

@@ -139,15 +139,26 @@ def _configs(feature_config: FeaturePipelineConfig):
     return fast, brief, match
 
 
+def _detect_describe(frame: jnp.ndarray, feature_config: FeaturePipelineConfig) -> FeatureSet:
+    """Shared (optionally multi-scale) detection+description step."""
+    from mvslam_tpu.ops.detect import detect_and_describe
+
+    fast, brief, _ = _configs(feature_config)
+    gray = rgb_to_gray(frame)
+    xy, scores, desc, angles, valid = detect_and_describe(
+        gray,
+        feature_config.num_features,
+        fast,
+        brief,
+        num_levels=feature_config.num_pyramid_levels,
+    )
+    return FeatureSet(xy, scores, desc, angles, valid)
+
+
 @partial(jax.jit, static_argnames=("feature_config",))
 def bootstrap_frame(frame: jnp.ndarray, feature_config: FeaturePipelineConfig) -> FeatureSet:
     """Detect+describe the first frame (no previous frame to track against)."""
-    fast, brief, _ = _configs(feature_config)
-    gray = rgb_to_gray(frame)
-    xy, scores, valid = detect_keypoints(gray, num_keypoints=feature_config.num_features, config=fast)
-    blurred = gaussian_blur(gray, sigma=brief.blur_sigma, radius=brief.blur_radius)
-    desc, angles = describe_keypoints(blurred, xy, valid, config=brief)
-    return FeatureSet(xy, scores, desc, angles, valid)
+    return _detect_describe(frame, feature_config)
 
 
 @partial(jax.jit, static_argnames=("feature_config", "pose_config"))
@@ -164,12 +175,9 @@ def track_frame(
     Returns the new frame's FeatureSet (stays device-resident, feeds the
     next call) and a TrackResult of per-frame statistics.
     """
-    fast, brief, match_cfg = _configs(feature_config)
-    gray = rgb_to_gray(frame)
-    xy, scores, valid = detect_keypoints(gray, num_keypoints=feature_config.num_features, config=fast)
-    blurred = gaussian_blur(gray, sigma=brief.blur_sigma, radius=brief.blur_radius)
-    desc, angles = describe_keypoints(blurred, xy, valid, config=brief)
-    features = FeatureSet(xy, scores, desc, angles, valid)
+    _, _, match_cfg = _configs(feature_config)
+    features = _detect_describe(frame, feature_config)
+    xy, desc, valid = features.xy, features.descriptors, features.valid
 
     result = match_descriptors(prev_features.descriptors, prev_features.valid, desc, valid, match_cfg)
     selected = select_matches(result, max_matches=feature_config.max_matches)
@@ -216,18 +224,9 @@ def track_window(
     Returns (features of every frame in the window — index [-1] seeds the
     next window — and a batched TrackResult with leading dim B).
     """
-    fast, brief, match_cfg = _configs(feature_config)
+    _, _, match_cfg = _configs(feature_config)
 
-    def detect(frame):
-        gray = rgb_to_gray(frame)
-        xy, scores, valid = detect_keypoints(
-            gray, num_keypoints=feature_config.num_features, config=fast
-        )
-        blurred = gaussian_blur(gray, sigma=brief.blur_sigma, radius=brief.blur_radius)
-        desc, angles = describe_keypoints(blurred, xy, valid, config=brief)
-        return FeatureSet(xy, scores, desc, angles, valid)
-
-    feats = jax.vmap(detect)(frames)  # leading dim B
+    feats = jax.vmap(lambda f: _detect_describe(f, feature_config))(frames)  # leading dim B
 
     # Pair i matches features of frame i-1 (or prev for i=0) to frame i.
     src = jax.tree.map(

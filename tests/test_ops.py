@@ -287,3 +287,43 @@ class TestPallasFast:
             )
         assert np.array_equal(np.asarray(valid_ref), np.asarray(valid_pal))
         assert np.array_equal(np.asarray(xy_ref[valid_ref]), np.asarray(xy_pal[valid_pal]))
+
+
+class TestMultiScaleDetection:
+    def test_pyramid_detection_spans_scales(self):
+        from mvslam_tpu.ops.detect import detect_and_describe
+
+        # Big blobs that only trigger FAST when downsampled + small blobs.
+        rng = np.random.default_rng(5)
+        img = rng.uniform(0, 20, size=(192, 256)).astype(np.float32)
+        for _ in range(20):  # small corners (level 0)
+            y, x = rng.integers(25, 160), rng.integers(25, 224)
+            img[y : y + 4, x : x + 4] = 220.0
+        out = detect_and_describe(
+            jnp.asarray(img), 128, FastConfig(), __import__("mvslam_tpu.ops.brief", fromlist=["BriefConfig"]).BriefConfig(),
+            num_levels=3,
+        )
+        xy, scores, desc, angles, valid = out
+        assert xy.shape == (128, 2)
+        assert int(np.asarray(valid).sum()) > 10
+        # Coordinates stay within level-0 bounds.
+        pts = np.asarray(xy[valid])
+        assert pts[:, 0].max() < 256 and pts[:, 1].max() < 192
+
+    def test_pyramid_matching_still_works(self):
+        """Multi-scale features of a shifted image still match."""
+        from mvslam_tpu.frontend.feature_pipeline import FeaturePipeline, FeaturePipelineConfig
+
+        img = textured_image(h=160, w=224, n_blobs=70)
+        img2 = np.roll(img, 5, axis=1)
+        pipe = FeaturePipeline(FeaturePipelineConfig(num_features=256, max_matches=128, num_pyramid_levels=2))
+        f1 = pipe.detect_and_describe(jnp.asarray(img))
+        f2 = pipe.detect_and_describe(jnp.asarray(img2))
+        sel = pipe.match(f1, f2)
+        assert int(sel.num_valid) >= 10
+
+    def test_level_budget_config_validation(self):
+        from mvslam_tpu.frontend.feature_pipeline import FeaturePipelineConfig
+
+        with pytest.raises(ValueError):
+            FeaturePipelineConfig(num_pyramid_levels=0)
