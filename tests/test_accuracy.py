@@ -1,0 +1,111 @@
+"""End-to-end accuracy: track a rendered 3-D scene, evaluate ATE/RPE.
+
+The strongest correctness check in the suite: a synthetic camera moves
+through a true 3-D point cloud, frames are rendered by splatting projected
+points, the full SLAM stack tracks them, and the (Sim3-aligned,
+monocular-scale-free) trajectory must match ground truth.
+"""
+
+import numpy as np
+import pytest
+
+from mvslam_tpu.backend.keyframes import KeyframeConfig
+from mvslam_tpu.eval.trajectory import compute_additional_metrics
+from mvslam_tpu.frontend.feature_pipeline import FeaturePipelineConfig
+from mvslam_tpu.frontend.pose_estimator import RobustPoseEstimatorConfig
+from mvslam_tpu.slam.api import SLAMSystem, SLAMSystemConfig
+
+
+def render_scene(num_frames=10, h=240, w=320, seed=0):
+    """Splat-render a 3-D textured-patch field from a translating camera.
+
+    Each 3-D point carries a FIXED random texture patch (unique appearance
+    → unambiguous descriptors, stable across frames) on a black background
+    (no spurious stationary corners). Wide depth range gives strong
+    parallax, so the ±0.5 px integer-splat quantisation stays far below
+    the depth-dependent disparity signal.
+    """
+    rng = np.random.default_rng(seed)
+    fx = fy = 350.0
+    cx, cy = w / 2, h / 2
+    n_pts = 250
+    pts3d = np.stack(
+        [rng.uniform(-3, 10, n_pts), rng.uniform(-3, 3, n_pts), rng.uniform(4.0, 12.0, n_pts)],
+        axis=1,
+    )
+    patch_size = 7
+    patches = rng.uniform(40, 255, size=(n_pts, patch_size, patch_size)).astype(np.float32)
+    gt_positions = []
+    frames = []
+    for i in range(num_frames):
+        # Camera translates +x and slightly forward; world-from-camera pose.
+        t = np.array([0.2 * i, 0.0, 0.04 * i])
+        gt_positions.append(t)
+        cam = pts3d - t  # R = I
+        img = np.zeros((h, w), dtype=np.float32)
+        z = cam[:, 2]
+        u = fx * cam[:, 0] / z + cx
+        v = fy * cam[:, 1] / z + cy
+        order = np.argsort(-z)  # far first so near splats overwrite
+        for k in order:
+            if z[k] < 1.5:
+                continue
+            ui, vi = int(round(u[k])), int(round(v[k]))
+            if 0 <= ui < w - patch_size and 0 <= vi < h - patch_size:
+                img[vi : vi + patch_size, ui : ui + patch_size] = patches[k]
+        frames.append(img)
+    return frames, np.stack(gt_positions), (fx, fy, cx, cy)
+
+
+class TestEndToEndAccuracy:
+    def test_trajectory_matches_ground_truth(self, tmp_path):
+        frames, gt, (fx, fy, cx, cy) = render_scene()
+        system = SLAMSystem(
+            SLAMSystemConfig(
+                run_id="accuracy",
+                output_root=tmp_path,
+                seed=3,
+                fx=fx, fy=fy, cx=cx, cy=cy,
+                feature=FeaturePipelineConfig(num_features=512, max_matches=256),
+                pose=RobustPoseEstimatorConfig(
+                    num_hypotheses=256, adaptive_threshold=False, essential_threshold_px=2.0
+                ),
+                keyframe=KeyframeConfig(min_translation=0.05),
+            )
+        )
+        diags = system.run_sequence(frames)
+        successes = [d for d in diags[1:] if d.pose_success]
+        assert len(successes) >= len(frames) - 3, [
+            (d.frame_id, d.failure_reason) for d in diags
+        ]
+        est = np.stack(system.trajectory.poses)[:, :3, 3]
+        metrics = compute_additional_metrics(est, gt)
+        # Sim3-aligned ATE under 8% of the trajectory extent (the renderer's
+        # integer splats bound achievable accuracy to ~0.5 px).
+        extent = np.linalg.norm(gt[-1] - gt[0])
+        assert metrics["ATE_RMSE"] < 0.08 * extent, metrics
+        # Direction of travel is consistent frame over frame.
+        steps = np.diff(est, axis=0)
+        good_dirs = (steps @ np.array([1.0, 0.0, 0.2]) > 0).mean()
+        assert good_dirs > 0.7
+
+    def test_matching_quality_on_3d_scene(self, tmp_path):
+        """Unique-texture splats must match near-perfectly with high inlier
+        counts (the matching layer, isolated from pose-model selection)."""
+        frames, gt, (fx, fy, cx, cy) = render_scene(seed=5)
+        system = SLAMSystem(
+            SLAMSystemConfig(
+                run_id="model", output_root=tmp_path, seed=1,
+                fx=fx, fy=fy, cx=cx, cy=cy,
+                feature=FeaturePipelineConfig(num_features=512, max_matches=256),
+                pose=RobustPoseEstimatorConfig(
+                    num_hypotheses=256, adaptive_threshold=False, essential_threshold_px=2.0
+                ),
+            )
+        )
+        diags = system.run_sequence(frames)
+        tracked = [d for d in diags[1:] if d.pose_success]
+        assert len(tracked) >= 7, [(d.frame_id, d.failure_reason) for d in diags]
+        assert np.mean([d.num_matches for d in tracked]) > 150
+        assert np.mean([d.num_inliers for d in tracked]) > 100
+        assert np.mean([d.cheirality_ratio for d in tracked]) > 0.9
