@@ -18,15 +18,15 @@ to a static budget with a validity mask, so window updates never recompile.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
-from typing import Dict, List, NamedTuple, Optional, Tuple
+from typing import List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mvslam_tpu.geometry.lie import se3_exp, se3_matrix, so3_exp, so3_log
+from mvslam_tpu.geometry.lie import se3_matrix, so3_exp, so3_log
 
 # ---------------------------------------------------------------------------
 # Public data types (parity: bundle_adjustment.py:16-45)

@@ -19,7 +19,7 @@ Group models expose ``dim``, ``residual(xi, xj, meas)`` and
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, NamedTuple, Optional, Tuple
+from typing import Dict, List, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ rate) so the persistent map/relocalizer can serialize them.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, List, Optional
 
 import numpy as np

@@ -10,19 +10,18 @@ solver (ref L128-145) and writing back corrected poses.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional
 
 import jax.numpy as jnp
 import numpy as np
 
-from mvslam_tpu.backend.factor_graph import MODELS, FactorGraph, GraphProblem
+from mvslam_tpu.backend.factor_graph import MODELS, FactorGraph
 from mvslam_tpu.backend.solvers import (
     DEFAULT_REGISTRY,
     SolverConfig,
     SolverResult,
 )
-from mvslam_tpu.core.integrity import stable_hash
 
 
 @dataclass

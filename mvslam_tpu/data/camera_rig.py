@@ -9,7 +9,7 @@ conditioning, rotation orthonormality, baseline sanity — ref L137-285).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Mapping, Optional
+from typing import Dict, List, Mapping
 
 import numpy as np
 

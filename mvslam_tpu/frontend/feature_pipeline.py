@@ -26,8 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mvslam_tpu.ops.brief import BriefConfig, describe_keypoints
-from mvslam_tpu.ops.fast import FastConfig, detect_keypoints
+from mvslam_tpu.ops.brief import BriefConfig
+from mvslam_tpu.ops.fast import FastConfig
 from mvslam_tpu.ops.hamming import (
     MatchConfig,
     SelectedMatches,
@@ -35,7 +35,7 @@ from mvslam_tpu.ops.hamming import (
     match_descriptors,
     select_matches,
 )
-from mvslam_tpu.ops.image import gaussian_blur, rgb_to_gray
+from mvslam_tpu.ops.image import rgb_to_gray
 from mvslam_tpu.ops.ransac import adaptive_ransac_threshold as _adaptive_threshold_device
 
 

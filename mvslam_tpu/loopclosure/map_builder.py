@@ -9,7 +9,7 @@ keyframe histograms, emit ``MapBuildStats``.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np

@@ -22,7 +22,6 @@ Both paths compile and run on an N-virtual-device CPU mesh for testing
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

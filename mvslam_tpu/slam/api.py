@@ -19,7 +19,7 @@ Differences from the reference (by design, SURVEY §7):
 from __future__ import annotations
 
 import logging
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any, Dict, Iterable, List, Optional, Sequence
 
@@ -28,8 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from mvslam_tpu.backend.keyframes import Keyframe, KeyframeConfig, KeyframeManager
-from mvslam_tpu.core.determinism import DeterminismRegistry, build_registry
-from mvslam_tpu.core.experiments import create_run_artifacts, write_resolved_config
+from mvslam_tpu.core.determinism import DeterminismRegistry
+from mvslam_tpu.core.experiments import create_run_artifacts
 from mvslam_tpu.core.persistence import (
     RunDataStore,
     TrajectoryAccumulator,

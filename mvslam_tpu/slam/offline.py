@@ -21,7 +21,7 @@ import argparse
 import json
 import logging
 import sys
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Any, Dict, List, Optional
 
@@ -186,7 +186,6 @@ def _verify_loop(system, kf_a, kf_b, config: SLAMRunConfig):
 
 def run_visual_slam(config: SLAMRunConfig) -> Dict[str, Any]:
     """Parity: ``visual_slam_offline_entry_point.py:433-679``."""
-    from mvslam_tpu.backend.factor_graph import SE3Model
     from mvslam_tpu.backend.keyframes import KeyframeConfig
     from mvslam_tpu.backend.pose_graph import PoseGraph3D
     from mvslam_tpu.backend.solvers import SolverConfig

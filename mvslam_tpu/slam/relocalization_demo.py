@@ -55,7 +55,6 @@ def _build_demo_report(system, diagnostics, inject_at: int) -> Dict[str, Any]:
 
 def run_relocalization_demo(config: RelocalizationDemoConfig) -> Dict[str, Any]:
     from mvslam_tpu.backend.keyframes import KeyframeConfig
-    from mvslam_tpu.core.determinism import hash_config_path
     from mvslam_tpu.data.kitti import KittiSequence
     from mvslam_tpu.slam.api import SLAMSystem, SLAMSystemConfig
 

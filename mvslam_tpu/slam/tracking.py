@@ -28,15 +28,15 @@ from mvslam_tpu.frontend.pose_estimator import (
     RobustPoseEstimatorConfig,
     estimate_pose_device,
 )
-from mvslam_tpu.ops.brief import BriefConfig, describe_keypoints
-from mvslam_tpu.ops.fast import FastConfig, detect_keypoints
+from mvslam_tpu.ops.brief import BriefConfig
+from mvslam_tpu.ops.fast import FastConfig
 from mvslam_tpu.ops.hamming import (
     MatchConfig,
     gather_matched_points,
     match_descriptors,
     select_matches,
 )
-from mvslam_tpu.ops.image import gaussian_blur, rgb_to_gray
+from mvslam_tpu.ops.image import rgb_to_gray
 
 
 _SCALAR_FIELDS = (

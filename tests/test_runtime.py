@@ -456,7 +456,10 @@ class TestRunStreamAsync:
             packets_from_arrays(frames),
             tracking_control_config=TrackingControlConfig(frame_ttl_s=120.0),
         )
-        detail = [(d.frame_id, d.model_type, d.failure_reason) for d in diags]
+        detail = {
+            "diags": [(d.frame_id, d.model_type, d.failure_reason) for d in diags],
+            "events": system.store.load_report("control_plane_report")["events"],
+        }
         assert len(diags) == 5, detail
         assert diags[0].model_type == "bootstrap", detail
         assert sum(d.pose_success for d in diags[1:]) >= 3
@@ -465,3 +468,33 @@ class TestRunStreamAsync:
         assert report["event_digest"]
         result = system.finalize_run()
         assert result.num_frames == 5
+
+
+class TestProcessPoolIngestion:
+    def test_process_pool_decode_ordered(self, tmp_path):
+        """The ProcessPoolExecutor boundary (reference's only cross-process
+        path) decodes real files in order."""
+        from PIL import Image
+
+        rng = np.random.default_rng(0)
+        paths = []
+        for i in range(10):
+            p = tmp_path / f"{i:04d}.png"
+            Image.fromarray(
+                rng.integers(0, 255, size=(32, 48), dtype=np.uint8), mode="L"
+            ).save(p)
+            paths.append(p)
+        pipeline = AsyncIngestionPipeline(
+            paths, config=IngestionPipelineConfig(num_workers=2, use_process_pool=True)
+        )
+        packets = list(pipeline)
+        assert [p.index for p in packets] == list(range(10))
+        assert pipeline.failure_report().decoded == 10
+
+    def test_injected_read_fn_rejected_with_process_pool(self):
+        with pytest.raises(ValueError, match="read_fn"):
+            AsyncIngestionPipeline(
+                ["x.png"],
+                config=IngestionPipelineConfig(use_process_pool=True),
+                read_fn=lambda p: None,
+            )
