@@ -84,19 +84,6 @@ def _pack_features(feats: FeatureSet) -> jnp.ndarray:
     )
 
 
-def _pack_host_bundle(pose, num_matches, num_features, feats: FeatureSet) -> jnp.ndarray:
-    """(…, 24 + N·11) f32: scalars followed by flattened packed features.
-
-    Everything the host may need from a tracking step in ONE fetchable
-    buffer — a single device→host round trip per window covers pose
-    scalars, gate statistics, AND keyframe feature material.
-    """
-    scalars = _pack_values(pose, num_matches, num_features)
-    features = _pack_features(feats)
-    flat = features.reshape(*features.shape[:-2], features.shape[-2] * features.shape[-1])
-    return jnp.concatenate([scalars, flat], axis=-1)
-
-
 def unpack_features(packed: np.ndarray):
     """Host-side inverse of :func:`_pack_features` → (xy, descriptors, valid)."""
     packed = np.ascontiguousarray(packed, dtype=np.float32)
@@ -106,13 +93,7 @@ def unpack_features(packed: np.ndarray):
     return xy, desc, valid
 
 
-def split_host_bundle(bundle: np.ndarray):
-    """(…, 24 + N·11) → (scalars (…, 24), features (…, N, 11))."""
-    scalars = bundle[..., :24]
-    feat_flat = bundle[..., 24:]
-    n = feat_flat.shape[-1] // 11
-    features = feat_flat.reshape(*feat_flat.shape[:-1], n, 11)
-    return scalars, features
+
 
 
 class TrackResult(NamedTuple):
@@ -125,7 +106,8 @@ class TrackResult(NamedTuple):
     match_distances: jnp.ndarray  # (M,)
     num_matches: jnp.ndarray  # () int32
     num_features: jnp.ndarray  # () int32 valid keypoints in new frame
-    host_packed: jnp.ndarray  # (..., 24 + N*11) f32 — see _pack_host_bundle
+    scalars_packed: jnp.ndarray  # (..., 24) f32 — see _pack_values (tiny fetch)
+    features_packed: jnp.ndarray  # (..., N, 11) f32 — see _pack_features (lazy fetch)
 
 
 def _configs(feature_config: FeaturePipelineConfig):
@@ -192,12 +174,10 @@ def track_frame(
         match_distances=selected.distances,
         num_matches=selected.num_valid.astype(jnp.int32),
         num_features=jnp.sum(valid).astype(jnp.int32),
-        host_packed=_pack_host_bundle(
-            pose,
-            selected.num_valid.astype(jnp.int32),
-            jnp.sum(valid).astype(jnp.int32),
-            features,
+        scalars_packed=_pack_values(
+            pose, selected.num_valid.astype(jnp.int32), jnp.sum(valid).astype(jnp.int32)
         ),
+        features_packed=_pack_features(features),
     )
     return features, track
 
@@ -250,12 +230,10 @@ def track_window(
             match_distances=selected.distances,
             num_matches=selected.num_valid.astype(jnp.int32),
             num_features=jnp.sum(f2.valid).astype(jnp.int32),
-            host_packed=_pack_host_bundle(
-                pose,
-                selected.num_valid.astype(jnp.int32),
-                jnp.sum(f2.valid).astype(jnp.int32),
-                f2,
+            scalars_packed=_pack_values(
+                pose, selected.num_valid.astype(jnp.int32), jnp.sum(f2.valid).astype(jnp.int32)
             ),
+            features_packed=_pack_features(f2),
         )
 
     track = jax.vmap(track_pair)(keys, src, feats)
@@ -297,12 +275,12 @@ def match_and_estimate(
         match_distances=selected.distances,
         num_matches=selected.num_valid.astype(jnp.int32),
         num_features=jnp.sum(cur_features.valid).astype(jnp.int32),
-        host_packed=_pack_host_bundle(
+        scalars_packed=_pack_values(
             pose,
             selected.num_valid.astype(jnp.int32),
             jnp.sum(cur_features.valid).astype(jnp.int32),
-            cur_features,
         ),
+        features_packed=_pack_features(cur_features),
     )
 
 
@@ -322,34 +300,33 @@ def feature_set_from_arrays(xy, descriptors, valid) -> FeatureSet:
 
 
 
-_HOST_BUNDLE_CACHE: dict = {}
-
-
-def pull_host_bundle(track: TrackResult) -> np.ndarray:
-    """Fetch the full host bundle ONCE per TrackResult (cached by id)."""
-    key = id(track.host_packed)
-    cached = _HOST_BUNDLE_CACHE.get(key)
-    if cached is None:
-        if len(_HOST_BUNDLE_CACHE) > 8:
-            _HOST_BUNDLE_CACHE.clear()
-        cached = np.asarray(track.host_packed)
-        _HOST_BUNDLE_CACHE[key] = cached
-    return cached
+_FEATURE_FETCH_CACHE: dict = {}
 
 
 def pull_features(track: TrackResult):
-    """Numpy (xy, descriptors, valid) of the tracked frame(s) — one fetch."""
-    _, features = split_host_bundle(pull_host_bundle(track))
-    return unpack_features(features)
+    """Numpy (xy, descriptors, valid) of the tracked frame(s).
+
+    ONE lazy fetch per TrackResult (cached by buffer id): only windows
+    that actually create keyframes / relocalize pay the ~35 ms/MB feature
+    transfer; the per-window scalar pull stays ~1.5 KB.
+    """
+    key = id(track.features_packed)
+    cached = _FEATURE_FETCH_CACHE.get(key)
+    if cached is None:
+        if len(_FEATURE_FETCH_CACHE) > 8:
+            _FEATURE_FETCH_CACHE.clear()
+        cached = unpack_features(np.asarray(track.features_packed))
+        _FEATURE_FETCH_CACHE[key] = cached
+    return cached
 
 
 def pull_scalars(track: TrackResult) -> dict:
-    """One host transfer: every scalar the host control flow needs.
+    """One tiny host transfer: every scalar the host control flow needs.
 
     Works for both single-frame (fields shaped ()) and windowed (fields
     shaped (B,)) results; returned dict values mirror those shapes.
     """
-    packed, _ = split_host_bundle(pull_host_bundle(track))  # (..., 24)
+    packed = np.asarray(track.scalars_packed)  # (..., 24)
     rotation = packed[..., :9].reshape(*packed.shape[:-1], 3, 3)
     translation = packed[..., 9:12]
     out = {"rotation": rotation, "translation": translation}
