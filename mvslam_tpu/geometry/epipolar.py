@@ -28,15 +28,16 @@ def _homogeneous(pts: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1)
 
 
-def _smallest_singular_vector(A: jnp.ndarray) -> jnp.ndarray:
+def _smallest_singular_vector(A: jnp.ndarray, rescue: bool = True) -> jnp.ndarray:
     """Right singular vector of A with the smallest singular value.
 
     Cholesky inverse iteration on AᵀA (see ``geometry.linalg``) — far
     faster than eigh/svd for the thousands of tiny systems in a RANSAC
-    hypothesis batch.
+    hypothesis batch. ``rescue=False`` skips the NaN-rescue factorization
+    (appropriate when a failed element merely loses a RANSAC vote).
     """
     AtA = jnp.swapaxes(A, -1, -2) @ A
-    return smallest_eigvec_psd(AtA)
+    return smallest_eigvec_psd(AtA, rescue=rescue)
 
 
 def eight_point_essential(
@@ -55,7 +56,9 @@ def eight_point_essential(
     A = (x2[..., :, :, None] * x1[..., :, None, :]).reshape(*x1.shape[:-1], 9)
     if weights is not None:
         A = A * weights[..., None]
-    e = _smallest_singular_vector(A)
+    # Refits (weights given) poison the final model on NaN -> rescue;
+    # hypothesis batches just lose one vote -> skip the extra Cholesky.
+    e = _smallest_singular_vector(A, rescue=weights is not None)
     E = e.reshape(*e.shape[:-1], 3, 3)
     U, _, Vt = jnp.linalg.svd(E)
     S = jnp.asarray([1.0, 1.0, 0.0], dtype=E.dtype)
@@ -181,7 +184,7 @@ def dlt_homography(
         row1 = row1 * weights[..., None]
         row2 = row2 * weights[..., None]
     A = jnp.concatenate([row1, row2], axis=-2)
-    h = _smallest_singular_vector(A)
+    h = _smallest_singular_vector(A, rescue=weights is not None)
     Hn = h.reshape(*h.shape[:-1], 3, 3)
     H = jnp.linalg.inv(T2) @ Hn @ T1
     scale = H[..., 2:3, 2:3]
