@@ -6,7 +6,8 @@ ring buffer; the consumer iterates :class:`FramePacket`s in order;
 backpressure drops the oldest buffered frame and counts it.
 
 This is host-side I/O (decode is CPU work in the TPU build too); the
-device-batch assembler in ``runtime.device_pipeline`` consumes it.
+windowed device-batch engine (``slam.api.SLAMSystem._run_windowed``)
+consumes it.
 """
 
 from __future__ import annotations

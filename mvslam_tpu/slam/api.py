@@ -12,8 +12,8 @@ Differences from the reference (by design, SURVEY §7):
 - the per-frame hot path is ONE device program + one scalar pull;
 - detection/matching/RANSAC statistics come back as a scalar bundle, and
   all dynamic control flow (gates, keyframes, relocalization) is host-side;
-- frames can be pre-staged to the device asynchronously (see
-  ``runtime.device_pipeline``).
+- frames are pre-staged to the device asynchronously and processed in
+  pipelined windows (see ``_run_windowed``).
 """
 
 from __future__ import annotations

@@ -199,3 +199,54 @@ class TestMultiCamera:
         matched, report = multi.synchronize(method="index")
         assert report.method == "index"
         assert report.matched == 5
+
+
+class TestTumDataset:
+    def _fake_tum(self, tmp_path):
+        from PIL import Image
+
+        root = tmp_path / "tum"
+        (root / "rgb").mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        lines = ["# ts filename"]
+        for i in range(4):
+            ts = 1305031102.175304 + 0.033 * i
+            name = f"rgb/{ts:.6f}.png"
+            Image.fromarray(
+                rng.integers(0, 255, size=(48, 64), dtype=np.uint8), mode="L"
+            ).save(root / name)
+            lines.append(f"{ts:.6f} {name}")
+        (root / "rgb.txt").write_text("\n".join(lines))
+        (root / "groundtruth.txt").write_text(
+            "# ts tx ty tz qx qy qz qw\n"
+            + "\n".join(
+                f"{1305031102.175304 + 0.033 * i:.6f} {0.1 * i:.4f} 0 0 0 0 0 1"
+                for i in range(4)
+            )
+        )
+        return root
+
+    def test_tum_sequence(self, tmp_path):
+        from mvslam_tpu.data.tum import TumSequence
+
+        seq = TumSequence(self._fake_tum(tmp_path))
+        assert len(seq) == 4
+        packets = list(seq.iter_frames())
+        assert [p.index for p in packets] == [0, 1, 2, 3]
+        assert packets[1].timestamp == pytest.approx(1305031102.208304, abs=1e-4)
+        K = seq.camera_intrinsics()
+        assert K[0, 0] == pytest.approx(517.3)
+        ts, pos = seq.ground_truth()
+        assert pos.shape == (4, 3)
+        assert pos[2, 0] == pytest.approx(0.2)
+
+    def test_tum_without_index(self, tmp_path):
+        import shutil
+
+        root = self._fake_tum(tmp_path)
+        (root / "rgb.txt").unlink()
+        from mvslam_tpu.data.tum import TumSequence
+
+        seq = TumSequence(root)
+        assert len(seq) == 4
+        assert seq.entries[0].timestamp > 1e9  # parsed from filename stem
