@@ -46,6 +46,10 @@ class RobustPoseEstimatorConfig:
     """Parity: ``robust_pose_estimator.py:42-70``."""
 
     num_hypotheses: int = 512
+    # 4-point homography samples hit all-inliers with probability w⁴ vs the
+    # essential model's w⁸, so H reaches the same RANSAC confidence with far
+    # fewer hypotheses. 0 ⇒ num_hypotheses // 2.
+    homography_hypotheses: int = 0
     essential_threshold_px: float = 1.5
     homography_threshold_px: float = 3.0
     adaptive_threshold: bool = True
@@ -163,8 +167,13 @@ def estimate_pose_device(
     # Both models are fit in well-conditioned *normalised* coordinates;
     # pixel thresholds convert by 1/fx. Thresholds stay traced values so
     # the adaptive scaling never recompiles.
+    ransac_cfg_h = RansacConfig(
+        num_hypotheses=config.homography_hypotheses or config.num_hypotheses // 2,
+        min_inliers=config.min_inliers,
+        refit_rounds=config.refit_rounds,
+    )
     res_e = ransac_essential(key_e, n1, n2, mask, ransac_cfg, threshold=e_thresh_px / fx)
-    res_h = ransac_homography(key_h, n1, n2, mask, ransac_cfg, threshold=h_thresh / fx)
+    res_h = ransac_homography(key_h, n1, n2, mask, ransac_cfg_h, threshold=h_thresh / fx)
 
     w_e = res_e.inliers.astype(jnp.float32)
     R_e, t_e, _ = decompose_essential(res_e.model, n1, n2, weights=w_e)

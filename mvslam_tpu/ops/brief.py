@@ -96,7 +96,17 @@ def extract_patches(image: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     ``lax.dynamic_slice`` clamps starts near borders; detection's border
     margin keeps real keypoints fully interior, so clamping only affects
     masked padding slots.
+
+    On TPU this dispatches to the Pallas DMA-pipeline kernel
+    (``ops.pallas_patches``): XLA serialises the N dynamic slices at
+    ~1.1 µs each (2.23 ms/frame at N=2048) where the kernel overlaps the
+    copies (0.73 ms, bit-identical). ``MVSLAM_PALLAS_PATCHES=0`` forces
+    the XLA path.
     """
+    if _use_pallas_patches():
+        from mvslam_tpu.ops.pallas_patches import extract_patches_pallas
+
+        return extract_patches_pallas(image, xy)
     xi = xy[:, 0].astype(jnp.int32) - PATCH_RADIUS
     yi = xy[:, 1].astype(jnp.int32) - PATCH_RADIUS
 
@@ -105,6 +115,19 @@ def extract_patches(image: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
 
     patches = jax.vmap(one)(yi, xi)
     return patches.reshape(xy.shape[0], PATCH_PIXELS)
+
+
+def _use_pallas_patches() -> bool:
+    """Trace-time dispatch: Mosaic kernel on TPU backends only."""
+    import os
+
+    override = os.environ.get("MVSLAM_PALLAS_PATCHES")
+    if override is not None:
+        return override not in ("", "0", "false")
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
 
 
 def orientations_from_patches(patches: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:

@@ -289,6 +289,34 @@ class TestPallasFast:
         assert np.array_equal(np.asarray(xy_ref[valid_ref]), np.asarray(xy_pal[valid_pal]))
 
 
+class TestPallasPatches:
+    def test_matches_xla_extraction(self):
+        """Pallas DMA patch kernel == vmapped dynamic_slice, bit for bit
+        (interpret mode on CPU; compiled path covered on TPU), including
+        border-clamped keypoints and a non-CHUNK-multiple count."""
+        from mvslam_tpu.ops.brief import PATCH_SIZE, PATCH_PIXELS
+        from mvslam_tpu.ops.pallas_patches import extract_patches_pallas
+
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.uniform(0, 255, size=(96, 160)).astype(np.float32))
+        n = 70  # not a multiple of the kernel chunk
+        xy = jnp.asarray(
+            np.stack(
+                [rng.integers(0, 160, n), rng.integers(0, 96, n)], axis=-1
+            ).astype(np.float32)
+        )
+
+        xi = jnp.clip(xy[:, 0].astype(jnp.int32) - PATCH_SIZE // 2, 0, 160 - PATCH_SIZE)
+        yi = jnp.clip(xy[:, 1].astype(jnp.int32) - PATCH_SIZE // 2, 0, 96 - PATCH_SIZE)
+
+        def one(yy, xx):
+            return jax.lax.dynamic_slice(img, (yy, xx), (PATCH_SIZE, PATCH_SIZE))
+
+        ref = np.asarray(jax.vmap(one)(yi, xi)).reshape(n, PATCH_PIXELS)
+        pal = np.asarray(extract_patches_pallas(img, xy, interpret=True))
+        assert np.array_equal(ref, pal)
+
+
 class TestMultiScaleDetection:
     def test_pyramid_detection_spans_scales(self):
         from mvslam_tpu.ops.detect import detect_and_describe
