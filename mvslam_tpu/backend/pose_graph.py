@@ -145,18 +145,18 @@ class PoseGraph3D(PoseGraphBase):
     def poses(self) -> np.ndarray:
         from mvslam_tpu.backend.factor_graph import SE3Model
 
-        return np.asarray(SE3Model.params_to_matrix(jnp.asarray(self.params, dtype=jnp.float64)))
+        return np.asarray(SE3Model.params_to_matrix(jnp.asarray(self.params)))
 
     def add_pose_matrix(self, T_delta: np.ndarray, weight: float = 1.0) -> int:
         from mvslam_tpu.backend.factor_graph import SE3Model
 
-        delta = np.asarray(SE3Model.matrix_to_params(jnp.asarray(T_delta, dtype=jnp.float64)))
+        delta = np.asarray(SE3Model.matrix_to_params(jnp.asarray(T_delta)))
         return self.add_pose(delta, weight)
 
     def add_loop_matrix(self, i: int, j: int, T_meas: np.ndarray, weight: float = 1.0) -> None:
         from mvslam_tpu.backend.factor_graph import SE3Model
 
-        meas = np.asarray(SE3Model.matrix_to_params(jnp.asarray(T_meas, dtype=jnp.float64)))
+        meas = np.asarray(SE3Model.matrix_to_params(jnp.asarray(T_meas)))
         self.add_loop(i, j, meas, weight)
 
 
@@ -168,4 +168,4 @@ class PoseGraphSim3D(PoseGraphBase):
     def poses(self) -> np.ndarray:
         from mvslam_tpu.geometry.lie import sim3_matrix
 
-        return np.asarray(sim3_matrix(jnp.asarray(self.params, dtype=jnp.float64)))
+        return np.asarray(sim3_matrix(jnp.asarray(self.params)))

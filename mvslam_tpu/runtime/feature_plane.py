@@ -140,6 +140,21 @@ class FeatureControlPlane:
         self.rejected = 0
         self._closed = False
 
+    def warmup(self, frame: np.ndarray) -> None:
+        """Compile the extraction program for this frame shape, blocking.
+
+        XLA compilation of the detect+describe program can take tens of
+        seconds (cold cache, loaded host, network-attached chip). Running it
+        once in the caller's thread before any ``submit`` keeps downstream
+        TTLs (``TrackingControlConfig.frame_ttl_s``) measuring stream
+        staleness rather than compiler latency.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        feats = self._pipeline.detect_and_describe(jnp.asarray(np.asarray(frame)))
+        jax.block_until_ready(feats.descriptors)
+
     # -- worker ----------------------------------------------------------
 
     def _extract(self, seq_id: int, frame: np.ndarray, cache_key: str) -> FeatureResult:
@@ -233,15 +248,22 @@ class FeatureControlPlane:
                 self._next_seq_out += 1
         return out
 
-    def collect(self, timeout: float = 10.0) -> List[FeatureResult]:
+    def collect(self, timeout: float = 30.0) -> List[FeatureResult]:
         """Block until every submitted frame has been returned in order.
 
+        ``timeout`` bounds time *without progress*, not total time: each
+        drained result resets the deadline. A first jit compile inside a
+        worker thread can legitimately take tens of seconds on a loaded
+        host; only a genuinely stuck pipeline should trip the deadline.
         Parity: ``feature_control_plane.py`` collect/drain.
         """
         deadline = time.monotonic() + timeout
         out: List[FeatureResult] = []
         while time.monotonic() < deadline:
-            out.extend(self.drain_ready())
+            drained = self.drain_ready()
+            if drained:
+                out.extend(drained)
+                deadline = time.monotonic() + timeout
             with self._lock:
                 pending = bool(self._futures) or bool(self._ready)
             if not pending:

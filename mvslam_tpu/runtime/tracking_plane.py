@@ -229,11 +229,21 @@ class TrackingControlPlane:
             )
         return out
 
-    def collect(self, timeout: float = 10.0) -> List[TrackingFrameResult]:
+    def collect(self, timeout: float = 30.0) -> List[TrackingFrameResult]:
+        """Drain until the pending buffer empties.
+
+        ``timeout`` bounds time *without progress* (each drained result
+        resets the deadline) so a slow first jit compile in the feature
+        workers doesn't abandon in-flight frames; only a stuck pipeline
+        trips it.
+        """
         deadline = time.monotonic() + timeout
         out: List[TrackingFrameResult] = []
         while time.monotonic() < deadline:
-            out.extend(self.drain_ready())
+            drained = self.drain_ready()
+            if drained:
+                out.extend(drained)
+                deadline = time.monotonic() + timeout
             if len(self.pending) == 0:
                 break
             time.sleep(0.002)

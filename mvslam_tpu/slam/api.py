@@ -575,8 +575,26 @@ class SLAMSystem:
             self._handle_tracked_frame(frame_id, result.timestamp, diag, scalars, host_provider)
             diags.append(diag)
 
+        warmed = False
+
+        def warm(frame: np.ndarray) -> None:
+            # Compile both device programs (extraction; fused match+pose)
+            # BEFORE any frame enters the pending buffer: compilation can
+            # take tens of seconds and would otherwise tick against every
+            # queued frame's TTL, expiring the whole stream as
+            # ``deadline_expired`` on a cold cache.
+            feature_plane.warmup(frame)
+            fs = bootstrap_frame(jnp.asarray(np.asarray(frame)), self.config.feature)
+            warm_track = match_and_estimate(
+                self._track_key, fs, fs, self._K_dev, self.config.feature, self.config.pose
+            )
+            jax.block_until_ready(warm_track.scalars_packed)
+
         try:
             for packet in packets:
+                if not warmed:
+                    warm(np.asarray(packet.frame))
+                    warmed = True
                 frame_id = self._frame_count
                 self._frame_count += 1
                 seq_to_meta[frame_id] = packet.timestamp
