@@ -93,6 +93,21 @@ class BoundedRingBuffer:
 
 
 def _default_read_fn(path: Path) -> Optional[np.ndarray]:
+    # Native C++ decoder first (PNG/PGM; bit-exact with cv2's BT.601
+    # grayscale, including RGB inputs). Falls through for formats it
+    # doesn't handle or when the toolchain is unavailable. Set
+    # MVSLAM_NATIVE_DECODE=0 to force the Python path.
+    import os
+
+    if os.environ.get("MVSLAM_NATIVE_DECODE", "1") != "0":
+        from mvslam_tpu import native
+
+        if native.native_available():
+            img = native.decode_gray(path)
+            if img is not None:
+                return img
+            if not path.exists():
+                return None
     try:
         import cv2
 

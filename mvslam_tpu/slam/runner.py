@@ -126,6 +126,42 @@ def run_kitti_sequence(
         system.run_stream(pipeline)
         report = pipeline.failure_report()
         system.store.save_report("ingestion_report", report.to_dict())
+    elif ingestion == "native":
+        # C++ decode pool with in-order delivery (mvslam_tpu.native): the
+        # native counterpart of the async mode's Python worker pipeline.
+        from mvslam_tpu.native import NativeFrameLoader, native_available
+        from mvslam_tpu.runtime.frame_stream import FramePacket
+
+        if not native_available():
+            raise RuntimeError("native ingestion requested but the C++ library is unavailable")
+        entries = seq.frame_entries(max_frames)
+
+        def _native_packets():
+            with NativeFrameLoader(
+                [e.path for e in entries],
+                workers=num_decode_workers,
+                capacity=max(buffer_size, 2),
+            ) as loader:
+                for item in loader:
+                    if item.frame is None:
+                        continue
+                    e = entries[item.index]
+                    yield FramePacket(
+                        index=item.index, timestamp=e.timestamp, frame=item.frame, path=e.path
+                    )
+                stats = loader.stats()
+            system.store.save_report(
+                "ingestion_report",
+                {
+                    "backend": "native",
+                    "decoded": stats.decoded,
+                    "failed": stats.failed,
+                    "consumer_wait_s": stats.consumer_wait_s,
+                    "worker_wait_s": stats.worker_wait_s,
+                },
+            )
+
+        system.run_stream(_native_packets())
     else:
         raise ValueError(f"unknown ingestion mode {ingestion!r}")
     return system.finalize_run()
@@ -141,7 +177,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--max-frames", type=int, default=None)
     parser.add_argument("--config", type=Path, default=None, help="pipeline config JSON")
-    parser.add_argument("--ingestion", choices=["sync", "stream", "async"], default="stream")
+    parser.add_argument(
+        "--ingestion", choices=["sync", "stream", "async", "native"], default="stream"
+    )
     parser.add_argument("--buffer-size", type=int, default=8)
     parser.add_argument("--decode-workers", type=int, default=2)
     parser.add_argument("--no-validate", action="store_true")
