@@ -21,9 +21,10 @@ import time
 
 import numpy as np
 
-NUM_FRAMES = 97
+NUM_FRAMES = 193
 WARMUP = 3
 WINDOW = 16
+WINDOWS_PER_DISPATCH = 6  # superwindow: one device program per 96 frames
 H, W = 370, 1226
 FALLBACK_CPU_BASELINE_FPS = 12.0  # recorded cv2 path on this host (see BASELINE.md)
 
@@ -39,15 +40,23 @@ def make_frames(num_frames: int, shift: int = 6, seed: int = 0):
     return [base[:, i * shift : i * shift + W].copy() for i in range(num_frames)]
 
 
-def bench_tpu(frames, window: int = WINDOW) -> float:
-    """Windowed tracking: one device dispatch + one scalar pull per window
-    of consecutive frame pairs (the SLAMSystem.run_sequence fast path)."""
+def bench_tpu(frames, window: int = WINDOW, windows_per_dispatch: int = WINDOWS_PER_DISPATCH) -> float:
+    """Superwindow tracking: ONE device program per ``window·S`` frames
+    (lax.scan over windows), with every frame preloaded to HBM before the
+    first compute (the SLAMSystem.run_sequence throughput path).
+
+    Preloading matters on this measurement rig: the tunneled chip's bulk
+    host→device path degrades ~3-10x once compute programs have executed
+    in the process, so frames are staged up front (like any production
+    input pipeline keeping HBM fed ahead of compute). The upload time IS
+    charged to the benchmark (added to elapsed).
+    """
     import jax
     import jax.numpy as jnp
 
     from mvslam_tpu.frontend.feature_pipeline import FeaturePipelineConfig
     from mvslam_tpu.frontend.pose_estimator import RobustPoseEstimatorConfig
-    from mvslam_tpu.slam.tracking import bootstrap_frame, pull_scalars, track_window
+    from mvslam_tpu.slam.tracking import bootstrap_frame, pull_scalars, track_superwindow
 
     fc = FeaturePipelineConfig(num_features=2048, max_matches=512)
     pc = RobustPoseEstimatorConfig(num_hypotheses=512)
@@ -56,43 +65,51 @@ def bench_tpu(frames, window: int = WINDOW) -> float:
 
     # uint8 host frames: 4x cheaper over the host->device link.
     host_frames = [f.astype(np.uint8) for f in frames]
-    prev = bootstrap_frame(jax.device_put(host_frames[0]), fc)
+    super_size = window * windows_per_dispatch
+    num_super = (len(host_frames) - 1) // super_size
+    assert num_super >= 1, "need at least one full superwindow"
+
+    # Stage ALL frames in HBM before any compute runs (fast-path uploads);
+    # the upload wall time is charged below.
+    t0 = time.perf_counter()
+    first = jax.device_put(host_frames[0])
+    chunks = [
+        jax.device_put(np.stack(host_frames[1 + i * super_size : 1 + (i + 1) * super_size]))
+        for i in range(num_super)
+    ]
+    jax.block_until_ready(chunks)
+    upload_s = time.perf_counter() - t0
 
     def dispatch(prev_feats, chunk_dev, start):
-        return track_window(
-            key, prev_feats, chunk_dev, K, fc, pc, start_index=jnp.asarray(start, jnp.int32)
+        return track_superwindow(
+            key, prev_feats, chunk_dev, K, fc, pc,
+            window=window, start_index=jnp.asarray(start, jnp.int32),
         )
 
-    # Warmup/compile.
-    chunk0 = jax.device_put(np.stack(host_frames[1 : 1 + window]))
-    feats, track = dispatch(prev, chunk0, 1)
+    # Warmup/compile (persistent compilation cache makes reruns cheap).
+    prev = bootstrap_frame(first, fc)
+    feats_last, track = dispatch(prev, chunks[0], 1)
     pull_scalars(track)
-    prev = jax.tree.map(lambda a: a[-1], feats)
 
-    # Depth-2 pipeline: window i+1 is DISPATCHED (its prev-features input is
-    # a device-side dependency, never pulled) before window i's scalars are
-    # fetched, so the ~70 ms device→host round trip of each pull rides out
-    # window i+1's compute instead of serialising after it.
-    starts = list(range(1, len(host_frames) - window + 1, window))
+    # Timed loop. Depth-2 pipeline: superwindow i+1 is DISPATCHED (its
+    # prev-features input is a device-side dependency, never pulled)
+    # before superwindow i's scalars are fetched, so each pull's
+    # device→host round trip rides out the next dispatch's compute.
+    prev = bootstrap_frame(first, fc)
     start_t = time.perf_counter()
     tracked = 0
-    next_chunk = jax.device_put(np.stack(host_frames[starts[0] : starts[0] + window]))
     pending_track = None
-    for si, start in enumerate(starts):
-        chunk = next_chunk
-        feats, track = dispatch(prev, chunk, start)
-        prev = jax.tree.map(lambda a: a[-1], feats)
-        if si + 1 < len(starts):
-            nxt = starts[si + 1]
-            next_chunk = jax.device_put(np.stack(host_frames[nxt : nxt + window]))
+    for si, chunk in enumerate(chunks):
+        feats_last, track = dispatch(prev, chunk, 1 + si * super_size)
+        prev = feats_last
         if pending_track is not None:
             bundle = pull_scalars(pending_track)
             tracked += int((bundle["num_matches"] > 0).sum())
         pending_track = track
     bundle = pull_scalars(pending_track)
     tracked += int((bundle["num_matches"] > 0).sum())
-    elapsed = time.perf_counter() - start_t
-    frames_done = len(starts) * window
+    elapsed = (time.perf_counter() - start_t) + upload_s
+    frames_done = num_super * super_size
     assert tracked == frames_done, f"tracking broke: {tracked}/{frames_done}"
     return frames_done / elapsed
 

@@ -240,6 +240,47 @@ def track_window(
     return feats, track
 
 
+@partial(jax.jit, static_argnames=("feature_config", "pose_config", "window"))
+def track_superwindow(
+    key,
+    prev_features: FeatureSet,
+    frames: jnp.ndarray,  # (S*window, H, W) — S windows of consecutive frames
+    K: jnp.ndarray,
+    feature_config: FeaturePipelineConfig,
+    pose_config: RobustPoseEstimatorConfig,
+    window: int = 16,
+    start_index: jnp.ndarray = 0,  # global frame id of frames[0] (traced)
+) -> Tuple[FeatureSet, TrackResult]:
+    """Throughput mode: ``lax.scan`` of :func:`track_window` — ONE launch
+    for S·window frames.
+
+    Per-program launch overhead (tens of ms over a tunneled chip) is the
+    dominant fixed cost of the windowed path once H2D is pipelined;
+    scanning S windows inside a single program amortises it S× further.
+    The scan carry is the previous window's last FeatureSet, so results
+    are bit-identical to S sequential :func:`track_window` calls (per-pair
+    keys still fold the GLOBAL frame id).
+
+    Returns the final frame's FeatureSet (seeds the next superwindow) and
+    a TrackResult whose leaves have leading dims (S, window).
+    """
+    if frames.shape[0] % window != 0:
+        raise ValueError("frames length must be a multiple of window")
+    num_windows = frames.shape[0] // window
+    chunks = frames.reshape(num_windows, window, *frames.shape[1:])
+    starts = start_index + window * jnp.arange(num_windows, dtype=jnp.int32)
+
+    def body(prev: FeatureSet, xs):
+        chunk, start = xs
+        feats, track = track_window(
+            key, prev, chunk, K, feature_config, pose_config, start_index=start
+        )
+        return jax.tree.map(lambda a: a[-1], feats), track
+
+    last, tracks = jax.lax.scan(body, prev_features, (chunks, starts))
+    return last, tracks
+
+
 @partial(jax.jit, static_argnames=("feature_config", "pose_config"))
 def match_and_estimate(
     key,

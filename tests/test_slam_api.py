@@ -163,6 +163,50 @@ class TestWindowedTracking:
         pb = np.stack(sys_win.trajectory.poses)
         assert np.allclose(pa, pb, atol=1e-5)
 
+    def test_superwindow_matches_sequential_windows(self):
+        """lax.scan over windows must reproduce S sequential track_window
+        calls exactly (same per-pair keys folding global frame ids)."""
+        import jax
+        import jax.numpy as jnp
+
+        from mvslam_tpu.slam.tracking import (
+            bootstrap_frame,
+            pull_scalars,
+            track_superwindow,
+            track_window,
+        )
+
+        frames = make_sequence(num_frames=7, seed=13)
+        fc = FeaturePipelineConfig(num_features=256, max_matches=128)
+        pc = RobustPoseEstimatorConfig(num_hypotheses=64)
+        K = jnp.asarray([[120.0, 0, 96.0], [0, 120.0, 64.0], [0, 0, 1]], jnp.float32)
+        key = jax.random.key(7)
+        window = 3
+
+        prev = bootstrap_frame(jnp.asarray(frames[0]), fc)
+        chunk = jnp.stack([jnp.asarray(f) for f in frames[1:]])  # (6, H, W)
+
+        # Sequential: two track_window calls with chained features.
+        feats1, track1 = track_window(key, prev, chunk[:3], K, fc, pc, start_index=jnp.int32(1))
+        mid = jax.tree.map(lambda a: a[-1], feats1)
+        _, track2 = track_window(key, mid, chunk[3:], K, fc, pc, start_index=jnp.int32(4))
+        seq_r = np.concatenate(
+            [pull_scalars(track1)["rotation"], pull_scalars(track2)["rotation"]]
+        )
+        seq_t = np.concatenate(
+            [pull_scalars(track1)["translation"], pull_scalars(track2)["translation"]]
+        )
+
+        # Superwindow: one program over both windows.
+        last, tracks = track_superwindow(
+            key, prev, chunk, K, fc, pc, window=window, start_index=jnp.int32(1)
+        )
+        sw = pull_scalars(tracks)
+        sw_r = sw["rotation"].reshape(-1, 3, 3)
+        sw_t = sw["translation"].reshape(-1, 3)
+        assert np.allclose(seq_r, sw_r, atol=1e-5)
+        assert np.allclose(seq_t, sw_t, atol=1e-5)
+
     def test_window_tail_padding(self, tmp_path):
         frames = make_sequence(num_frames=6, seed=12)
         system = SLAMSystem(small_config(tmp_path))
