@@ -390,26 +390,35 @@ class SLAMSystem:
         frames: Sequence[np.ndarray],
         timestamps: Optional[Sequence[float]] = None,
         window: int = 8,
+        windows_per_dispatch: int = 1,
     ) -> List[FrameDiagnostics]:
         """Batch-process frames with windowed device dispatch.
 
         Parity: ``slam_api.py:351-362``; with ``window > 1`` each device
         program tracks a whole window of consecutive pairs (one dispatch +
         one scalar pull per window instead of per frame — the throughput
-        path on a network-tunneled chip). Per-frame RNG folds the global
-        frame id, so any window size produces the identical trajectory.
+        path on a network-tunneled chip). ``windows_per_dispatch > 1``
+        additionally scans that many windows inside ONE device program
+        (``track_superwindow``), amortising per-launch overhead further.
+        Per-frame RNG folds the global frame id, so any window/dispatch
+        shape produces the identical trajectory.
         """
         ts = timestamps if timestamps is not None else [float(i) for i in range(len(frames))]
-        return self._run_windowed(zip(frames, ts), window)
+        return self._run_windowed(zip(frames, ts), window, windows_per_dispatch)
 
-    def _run_windowed(self, pair_iter, window: int) -> List[FrameDiagnostics]:
+    def _run_windowed(
+        self, pair_iter, window: int, windows_per_dispatch: int = 1
+    ) -> List[FrameDiagnostics]:
         """Windowed, depth-2-pipelined tracking over an iterator of
         (frame, timestamp) pairs — shared by run_sequence and run_stream."""
         pair_iter = iter(pair_iter)
         if window <= 1:
             return [self.process_frame(f, t) for f, t in pair_iter]
 
-        from mvslam_tpu.slam.tracking import track_window
+        from mvslam_tpu.slam.tracking import track_superwindow, track_window
+
+        super_windows = max(1, int(windows_per_dispatch))
+        dispatch_size = window * super_windows
 
         diags: List[FrameDiagnostics] = []
         if self._prev_features is None:
@@ -421,10 +430,10 @@ class SLAMSystem:
         exhausted = False
 
         def stage():
-            """Pull up to `window` pairs from the iterator; async H2D upload."""
+            """Pull up to `dispatch_size` pairs from the iterator; async H2D upload."""
             nonlocal exhausted
             chunk, chunk_ts = [], []
-            for _ in range(window):
+            for _ in range(dispatch_size):
                 item = next(pair_iter, None)
                 if item is None:
                     exhausted = True
@@ -434,22 +443,33 @@ class SLAMSystem:
             if not chunk:
                 return None
             real = len(chunk)
-            # Pad short tails to the window size (repeat last frame) so the
-            # device program never recompiles; padded outputs are ignored.
-            while len(chunk) < window:
+            # Pad short tails to the dispatch size (repeat last frame) so
+            # the device program never recompiles; padded outputs are
+            # ignored, and padded frames detect identical features to the
+            # real last frame, so the carried feature state is unaffected.
+            while len(chunk) < dispatch_size:
                 chunk.append(chunk[-1])
             return jax.device_put(np.stack(chunk)), chunk_ts, real
 
         def process(inflight) -> None:
-            """Pull one window's scalars and run the per-frame host logic."""
-            feats, track, chunk_ts, start_id, real = inflight
-            bundle = pull_scalars(track)  # ONE fetch covers scalars + features
+            """Pull one dispatch's scalars and run the per-frame host logic."""
+            track, chunk_ts, start_id, real = inflight
+            bundle = pull_scalars(track)  # ONE fetch covers every scalar
+            if super_windows > 1:
+                # Superwindow leaves are (S, window, ...); flatten to per-frame.
+                bundle = {
+                    k: v.reshape(dispatch_size, *v.shape[2:]) for k, v in bundle.items()
+                }
 
             def provider_for(i):
                 def provider():
                     from mvslam_tpu.slam.tracking import pull_features
 
                     xy, desc, valid = pull_features(track)
+                    if super_windows > 1:
+                        xy = xy.reshape(dispatch_size, *xy.shape[2:])
+                        desc = desc.reshape(dispatch_size, *desc.shape[2:])
+                        valid = valid.reshape(dispatch_size, *valid.shape[2:])
                     return xy[i], desc[i], valid[i]
 
                 return provider
@@ -485,32 +505,52 @@ class SLAMSystem:
                 with timed_event(
                     self.telemetry, "track_window", metadata={"start": start_id, "size": real}
                 ):
-                    feats, track = track_window(
-                        self._track_key,
-                        self._prev_features,
-                        frames_dev,
-                        self._K_dev,
-                        self.config.feature,
-                        self.config.pose,
-                        start_index=jnp.asarray(start_id, dtype=jnp.int32),
-                    )
-                self._prev_features = jax.tree.map(lambda a, r=real: a[r - 1], feats)
+                    if super_windows > 1:
+                        last, track = track_superwindow(
+                            self._track_key,
+                            self._prev_features,
+                            frames_dev,
+                            self._K_dev,
+                            self.config.feature,
+                            self.config.pose,
+                            window=window,
+                            start_index=jnp.asarray(start_id, dtype=jnp.int32),
+                        )
+                        # Padding repeats the last real frame, so the final
+                        # carried FeatureSet equals the real last frame's.
+                        self._prev_features = last
+                    else:
+                        feats, track = track_window(
+                            self._track_key,
+                            self._prev_features,
+                            frames_dev,
+                            self._K_dev,
+                            self.config.feature,
+                            self.config.pose,
+                            start_index=jnp.asarray(start_id, dtype=jnp.int32),
+                        )
+                        self._prev_features = jax.tree.map(lambda a, r=real: a[r - 1], feats)
                 staged = stage() if not exhausted else None
-                new_inflight = (feats, track, chunk_ts, start_id, real)
+                new_inflight = (track, chunk_ts, start_id, real)
             if inflight is not None:
                 process(inflight)
             inflight = new_inflight
         return diags
 
     def run_stream(
-        self, packets: Iterable[FramePacket], window: int = 8
+        self,
+        packets: Iterable[FramePacket],
+        window: int = 8,
+        windows_per_dispatch: int = 1,
     ) -> List[FrameDiagnostics]:
         """Streamed tracking with the same windowed pipelined engine.
 
         Parity: ``slam_api.py:364-374``; ``window=1`` gives the per-frame
         latency path.
         """
-        return self._run_windowed(((p.frame, p.timestamp) for p in packets), window)
+        return self._run_windowed(
+            ((p.frame, p.timestamp) for p in packets), window, windows_per_dispatch
+        )
 
     def run_stream_async(
         self,

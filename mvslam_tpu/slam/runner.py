@@ -73,6 +73,8 @@ def run_kitti_sequence(
     num_decode_workers: int = 2,
     validate: bool = True,
     inject_loss_at: Optional[int] = None,
+    window: int = 8,
+    windows_per_dispatch: int = 1,
 ) -> SLAMRunResult:
     """Parity: ``slam_runner.py:74-248``."""
     if validate:
@@ -111,9 +113,13 @@ def run_kitti_sequence(
             if frame is not None:
                 frames.append(np.asarray(frame))
                 timestamps.append(e.timestamp)
-        system.run_sequence(frames, timestamps)
+        system.run_sequence(frames, timestamps, window=window, windows_per_dispatch=windows_per_dispatch)
     elif ingestion == "stream":
-        system.run_stream(seq.iter_frames(max_frames, buffer_size=buffer_size))
+        system.run_stream(
+            seq.iter_frames(max_frames, buffer_size=buffer_size),
+            window=window,
+            windows_per_dispatch=windows_per_dispatch,
+        )
     elif ingestion == "async":
         from mvslam_tpu.runtime.ingestion import AsyncIngestionPipeline, IngestionPipelineConfig
 
@@ -123,7 +129,7 @@ def run_kitti_sequence(
             timestamps=[e.timestamp for e in entries],
             config=IngestionPipelineConfig(num_workers=num_decode_workers, queue_capacity=buffer_size),
         )
-        system.run_stream(pipeline)
+        system.run_stream(pipeline, window=window, windows_per_dispatch=windows_per_dispatch)
         report = pipeline.failure_report()
         system.store.save_report("ingestion_report", report.to_dict())
     elif ingestion == "native":
@@ -161,7 +167,7 @@ def run_kitti_sequence(
                 },
             )
 
-        system.run_stream(_native_packets())
+        system.run_stream(_native_packets(), window=window, windows_per_dispatch=windows_per_dispatch)
     else:
         raise ValueError(f"unknown ingestion mode {ingestion!r}")
     return system.finalize_run()
@@ -182,6 +188,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
     parser.add_argument("--buffer-size", type=int, default=8)
     parser.add_argument("--decode-workers", type=int, default=2)
+    parser.add_argument("--window", type=int, default=8, help="frames per device program")
+    parser.add_argument(
+        "--windows-per-dispatch",
+        type=int,
+        default=1,
+        help="windows scanned inside one device program (throughput mode)",
+    )
     parser.add_argument("--no-validate", action="store_true")
     parser.add_argument("--inject-loss-at", type=int, default=None)
     parser.add_argument("-v", "--verbose", action="store_true")
@@ -201,6 +214,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         num_decode_workers=args.decode_workers,
         validate=not args.no_validate,
         inject_loss_at=args.inject_loss_at,
+        window=args.window,
+        windows_per_dispatch=args.windows_per_dispatch,
     )
     print(
         json.dumps(

@@ -214,6 +214,33 @@ class TestWindowedTracking:
         assert len(diags) == 6
         assert len(system.trajectory) == 6
 
+    def test_superwindow_dispatch_matches_sequential(self, tmp_path):
+        """The product path with windows_per_dispatch>1 (one scanned device
+        program per S windows) must yield the identical trajectory."""
+        frames = make_sequence(num_frames=7, seed=14)
+        sys_seq = SLAMSystem(small_config(tmp_path / "seq"))
+        sys_seq.run_sequence(frames, window=1)
+        sys_sw = SLAMSystem(small_config(tmp_path / "sw"))
+        diags = sys_sw.run_sequence(frames, window=3, windows_per_dispatch=2)
+        assert len(diags) == 7
+        pa = np.stack(sys_seq.trajectory.poses)
+        pb = np.stack(sys_sw.trajectory.poses)
+        assert np.allclose(pa, pb, atol=1e-5)
+
+    def test_superwindow_dispatch_tail_padding(self, tmp_path):
+        """9 frames, window=3, S=2: one full 6-frame dispatch + one padded
+        tail dispatch (2 real frames padded to 6)."""
+        frames = make_sequence(num_frames=9, seed=15)
+        sys_seq = SLAMSystem(small_config(tmp_path / "seq"))
+        sys_seq.run_sequence(frames, window=1)
+        sys_sw = SLAMSystem(small_config(tmp_path / "sw"))
+        diags = sys_sw.run_sequence(frames, window=3, windows_per_dispatch=2)
+        assert len(diags) == 9
+        assert len(sys_sw.trajectory) == 9
+        pa = np.stack(sys_seq.trajectory.poses)
+        pb = np.stack(sys_sw.trajectory.poses)
+        assert np.allclose(pa, pb, atol=1e-5)
+
 
 class TestRelocalizationE2E:
     def test_injected_loss_triggers_relocalization(self, tmp_path):
