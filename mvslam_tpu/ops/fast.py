@@ -35,7 +35,7 @@ _CIRCLE = np.asarray(
     dtype=np.int32,
 )
 
-_ARC_LENGTH = 9  # FAST-9
+_ARC_LENGTH = 9  # FAST-9 (the AND-shift chain in ``has_arc`` is built for 9)
 
 
 @dataclass(frozen=True)
@@ -65,13 +65,17 @@ def fast_score_map(image: jnp.ndarray, threshold: float) -> jnp.ndarray:
     darker = diff < -threshold
 
     def has_arc(mask: jnp.ndarray) -> jnp.ndarray:
-        # Circular windowed AND: any run of _ARC_LENGTH consecutive Trues.
-        wrapped = jnp.concatenate([mask, mask[: _ARC_LENGTH - 1]], axis=0).astype(jnp.float32)
-        # cumulative-sum window trick: run of k ⇔ windowed sum == k
-        csum = jnp.cumsum(wrapped, axis=0)
-        padded = jnp.concatenate([jnp.zeros_like(csum[:1]), csum], axis=0)
-        window = padded[_ARC_LENGTH:] - padded[:-_ARC_LENGTH]
-        return jnp.any(window >= _ARC_LENGTH - 0.5, axis=0)
+        # Circular run of _ARC_LENGTH=9 consecutive Trues via log-depth
+        # AND-shift halving on the circular (16, H, W) bool stack:
+        # m2(i)=m(i)&m(i+1), m4=m2&m2(+2), m8=m4&m4(+4), and a run of 9
+        # starting at i is m8(i)&m(i+8). jnp.roll wraps, giving the
+        # circular window for free. 4 boolean passes replace the previous
+        # 24-step sequential cumsum (the score map is HBM-bound).
+        m2 = mask & jnp.roll(mask, -1, axis=0)
+        m4 = m2 & jnp.roll(m2, -2, axis=0)
+        m8 = m4 & jnp.roll(m4, -4, axis=0)
+        m9 = m8 & jnp.roll(mask, -8, axis=0)
+        return jnp.any(m9, axis=0)
 
     is_bright_corner = has_arc(brighter)
     is_dark_corner = has_arc(darker)

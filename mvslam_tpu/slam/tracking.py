@@ -352,13 +352,15 @@ def pull_features(track: TrackResult):
     transfer; the per-window scalar pull stays ~1.5 KB.
     """
     key = id(track.features_packed)
-    cached = _FEATURE_FETCH_CACHE.get(key)
-    if cached is None:
+    entry = _FEATURE_FETCH_CACHE.get(key)
+    # The entry pins the source buffer: without that reference, a GC'd
+    # array's id could be reused by a NEW buffer and hit stale features.
+    if entry is None or entry[0] is not track.features_packed:
         if len(_FEATURE_FETCH_CACHE) > 8:
             _FEATURE_FETCH_CACHE.clear()
-        cached = unpack_features(np.asarray(track.features_packed))
-        _FEATURE_FETCH_CACHE[key] = cached
-    return cached
+        entry = (track.features_packed, unpack_features(np.asarray(track.features_packed)))
+        _FEATURE_FETCH_CACHE[key] = entry
+    return entry[1]
 
 
 def pull_scalars(track: TrackResult) -> dict:
