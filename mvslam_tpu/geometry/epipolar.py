@@ -20,7 +20,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from mvslam_tpu.geometry.linalg import smallest_eigvec_psd
+from mvslam_tpu.geometry.linalg import inv3x3, smallest_eigvec_psd
 from mvslam_tpu.geometry.projection import hartley_normalization
 
 
@@ -196,7 +196,7 @@ def dlt_homography(
     A = jnp.concatenate([row1, row2], axis=-2)
     h = _smallest_singular_vector(A, rescue=weights is not None)
     Hn = h.reshape(*h.shape[:-1], 3, 3)
-    H = jnp.linalg.inv(T2) @ Hn @ T1
+    H = inv3x3(T2) @ Hn @ T1
     scale = H[..., 2:3, 2:3]
     return H / jnp.where(jnp.abs(scale) < 1e-12, 1e-12, scale)
 
@@ -206,7 +206,7 @@ def symmetric_transfer_error(H: jnp.ndarray, pts1: jnp.ndarray, pts2: jnp.ndarra
 
     Returns (..., N) summed squared errors. Parity: ``homography.py:148-216``.
     """
-    H_inv = jnp.linalg.inv(H)
+    H_inv = inv3x3(H)
 
     def transfer(M, pts):
         x = _homogeneous(pts)

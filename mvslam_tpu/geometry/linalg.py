@@ -13,6 +13,62 @@ import jax
 import jax.numpy as jnp
 
 
+def inv3x3(M: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form adjugate inverse of (..., 3, 3) matrices.
+
+    XLA lowers ``jnp.linalg.inv`` of tiny batched matrices to an
+    LuDecompositionBlock custom-call that is latency-bound on TPU
+    (profiled at ~0.2 ms per 16x256 batch in the tracking program); the
+    adjugate formula is a handful of fused elementwise ops.
+    """
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([A, B, C], axis=-1),
+            jnp.stack([D, E, F], axis=-1),
+            jnp.stack([G, H, I], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj / det[..., None, None]
+
+
+def _gauss_jordan_inverse(S: jnp.ndarray) -> jnp.ndarray:
+    """Unrolled no-pivot Gauss-Jordan inverse of (..., n, n) SPD matrices.
+
+    Ridge-regularised SPD input keeps every pivot positive, so pivoting is
+    unnecessary; near-singular stragglers produce non-finite entries that
+    the caller's rescue path replaces. n static (unrolled) — all batch
+    elements advance in lockstep as fused elementwise ops, where the
+    Cholesky custom-call is a sequential per-column routine (profiled at
+    ~0.5 ms per 16x512 batch of 9x9s in the tracking program).
+    """
+    n = S.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=S.dtype), S.shape)
+    aug = jnp.concatenate([S, eye], axis=-1)  # (..., n, 2n)
+    for k in range(n):
+        pivot = aug[..., k, k : k + 1]  # (..., 1)
+        row_k = aug[..., k, :] / pivot  # (..., 2n)
+        factor = aug[..., :, k]  # (..., n)
+        factor = factor.at[..., k].set(0.0)
+        aug = aug - factor[..., :, None] * row_k[..., None, :]
+        aug = aug.at[..., k, :].set(row_k)
+    return aug[..., :, n:]
+
+
 def smallest_eigvec_psd(S: jnp.ndarray, iterations: int = 10, rescue: bool = True) -> jnp.ndarray:
     """Unit eigenvector of the smallest eigenvalue of a PSD matrix (batched).
 
@@ -29,31 +85,26 @@ def smallest_eigvec_psd(S: jnp.ndarray, iterations: int = 10, rescue: bool = Tru
     # leave AᵀA slightly indefinite (λ_min ≈ −1e-8·tr observed) yet (b)
     # stay below the informative spectral gap, which for the 8-point
     # essential system is as small as ~1e-6·tr. 1e-7·tr threads the
-    # needle; stragglers that still fail Cholesky get a 100x rescue ridge.
+    # needle; stragglers that still fail get a 100x rescue ridge.
     eye = jnp.eye(n, dtype=S.dtype)
     ridge = (1e-7 * trace + 1e-12)[..., None, None] * eye
-    L = jax.lax.linalg.cholesky(S + ridge)
+
+    # Build S⁻¹ explicitly (closed-form adjugate at n=3, unrolled
+    # Gauss-Jordan otherwise — both pure fused elementwise work, replacing
+    # the sequential Cholesky/triangular-solve custom-calls that profiled
+    # as the pose stage's hottest ops), then run the iterations as batched
+    # matvecs (near-free on the MXU).
+    invert = inv3x3 if n == 3 else _gauss_jordan_inverse
+    S_inv = invert(S + ridge)
     if rescue:
-        # A second factorization with 100x ridge rescues elements whose f32
-        # roundoff left S indefinite beyond the base ridge. It costs a full
-        # extra Cholesky, so RANSAC hypothesis batches (where a NaN
+        # A second inversion with 100x ridge rescues elements whose f32
+        # roundoff left S singular beyond the base ridge. It costs a full
+        # extra inverse, so RANSAC hypothesis batches (where a NaN
         # candidate merely scores zero inliers) skip it; inlier REFITS
         # (where a NaN poisons the final model) keep it.
-        bad = jnp.isnan(L).any(axis=(-2, -1), keepdims=True)
-        L_big = jax.lax.linalg.cholesky(S + 100.0 * ridge)
-        L = jnp.where(bad, L_big, L)
-
-    # Build S⁻¹ explicitly with two *wide* triangular solves, then run the
-    # iterations as batched matvecs. Triangular substitution is sequential
-    # on TPU, so 2·iterations narrow solves cost ~0.38 ms/round at batch
-    # 512; one n-RHS solve pair costs about the same as a single round and
-    # the matvecs are near-free on the MXU (measured 1.91 → 0.70 ms/call,
-    # eigenvectors bit-identical to the factored-solve path).
-    eye_b = jnp.broadcast_to(eye, S.shape)
-    Y = jax.lax.linalg.triangular_solve(L, eye_b, left_side=True, lower=True)
-    S_inv = jax.lax.linalg.triangular_solve(
-        L, Y, left_side=True, lower=True, transpose_a=True
-    )
+        bad = ~jnp.isfinite(S_inv).all(axis=(-2, -1), keepdims=True)
+        S_inv_big = invert(S + 100.0 * ridge)
+        S_inv = jnp.where(bad, S_inv_big, S_inv)
 
     x = jnp.broadcast_to(jnp.linspace(1.0, 1.3, n, dtype=S.dtype), S.shape[:-2] + (n,))
     for _ in range(iterations):

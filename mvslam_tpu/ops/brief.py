@@ -83,11 +83,6 @@ def _build_comparison_bank() -> np.ndarray:
 
 _COMPARISON_BANK = _build_comparison_bank()
 
-# Comparison bank with the two orientation moment columns appended: one
-# (N, 961) @ (961, 32·256 + 2) matmul yields every bin's comparisons AND
-# the intensity-centroid moments, so the patch matrix crosses HBM once.
-_BANK_AND_MOMENTS = np.concatenate([_COMPARISON_BANK, _MOMENTS.astype(np.float32)], axis=1)
-
 
 @dataclass(frozen=True)
 class BriefConfig:
@@ -182,17 +177,7 @@ def describe_keypoints(
     hold zero descriptors.
     """
     patches = extract_patches(image, xy)  # (N, 961)
-    # ONE matmul on the MXU: all comparisons for all bins + the two
-    # orientation moment columns (patches cross HBM once).
-    full = jax.lax.dot_general(
-        patches.astype(jnp.bfloat16),
-        jnp.asarray(_BANK_AND_MOMENTS, jnp.bfloat16),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT,
-    )  # (N, 32*256 + 2)
-    m = full[:, NUM_ANGLE_BINS * NUM_PAIRS :]
-    angles = jnp.where(valid, jnp.arctan2(m[:, 1], m[:, 0]), 0.0)
+    angles = orientations_from_patches(patches, valid)
     # Quantise the steering angle to one of NUM_ANGLE_BINS rotations.
     two_pi = 2.0 * jnp.pi
     frac = jnp.mod(angles, two_pi) / two_pi
@@ -201,9 +186,20 @@ def describe_keypoints(
         0,
         NUM_ANGLE_BINS - 1,
     )
-    resp = full[:, : NUM_ANGLE_BINS * NUM_PAIRS].reshape(
-        xy.shape[0], NUM_ANGLE_BINS, NUM_PAIRS
-    )
+    # All comparisons for all bins in ONE matmul on the MXU. bf16 output:
+    # only the SIGN of each comparison survives into the descriptor, and
+    # ±1-bank sums of 8-bit intensities sit far from bf16 rounding ties —
+    # while the f32 response tensor (N, 32·256) is the largest buffer in
+    # the tracking program (1 GB per 16-frame window at N=2048), so
+    # halving it is pure HBM-bandwidth win.
+    resp = jax.lax.dot_general(
+        patches.astype(jnp.bfloat16),
+        jnp.asarray(_COMPARISON_BANK, jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.bfloat16,
+        precision=jax.lax.Precision.DEFAULT,
+    )  # (N, 32*256) bf16
+    resp = resp.reshape(xy.shape[0], NUM_ANGLE_BINS, NUM_PAIRS)
     chosen = jnp.take_along_axis(resp, bins[:, None, None], axis=1)[:, 0, :]
     bits = chosen > 0.0
     packed = _pack_bits(bits)
