@@ -123,7 +123,17 @@ def _grid_topk(score: jnp.ndarray, num_keypoints: int, cells: int) -> Tuple[jnp.
     tiles = padded.reshape(cells, ch, cells, cw).transpose(0, 2, 1, 3).reshape(cells * cells, ch * cw)
     per_cell = max(1, -(-num_keypoints // (cells * cells)) * 2)
     per_cell = min(per_cell, ch * cw)
-    cell_scores, cell_idx = jax.lax.top_k(tiles, per_cell)  # (C², per_cell)
+    if jax.default_backend() == "tpu" and per_cell < ch * cw:
+        # TPU's exact top_k lowers to a full per-cell sort (profiled at
+        # ~0.33 ms/frame, the #2 op in the tracking program); the
+        # bucketed approx_max_k kernel is ~10x cheaper. Missing a few of
+        # the weakest per-cell candidates only perturbs the padded tail
+        # of the 2x-overfetched candidate pool.
+        cell_scores, cell_idx = jax.lax.approx_max_k(
+            tiles, per_cell, recall_target=0.95
+        )
+    else:
+        cell_scores, cell_idx = jax.lax.top_k(tiles, per_cell)  # (C², per_cell)
     # Recover global pixel coordinates of each candidate.
     cell_ids = jax.lax.broadcasted_iota(jnp.int32, cell_scores.shape, 0)
     cy = cell_ids // cells
