@@ -32,8 +32,15 @@ import jax.numpy as jnp
 import numpy as np
 
 PATCH_RADIUS = 15
-PATCH_SIZE = 2 * PATCH_RADIUS + 1  # 31
-PATCH_PIXELS = PATCH_SIZE * PATCH_SIZE  # 961
+PATCH_SIZE = 2 * PATCH_RADIUS + 1  # 31 (logical patch)
+# Patches are carried as 32x32 tiles: the 31x31 logical patch plus one
+# dead row/column of adjacent image pixels. Bank/moment rows at the dead
+# positions are zero, so results are identical to 31x31 extraction — but
+# the tile is lane-aligned (32*32 = 8*128), which removes a slice+copy
+# after the Pallas DMA kernel and lets the MXU tile the K dimension
+# exactly (961 would be padded to 1024 internally anyway).
+PATCH_DIM = 32
+PATCH_PIXELS = PATCH_DIM * PATCH_DIM  # 1024
 NUM_PAIRS = 256
 NUM_ANGLE_BINS = 32
 _PATTERN_SEED = 0x5EED
@@ -53,12 +60,14 @@ def _make_pattern() -> np.ndarray:
 
 _PATTERN = _make_pattern()
 
-# Moment vectors over the circular radius-15 patch (for orientation).
+# Moment vectors over the circular radius-15 patch (for orientation),
+# embedded in the 32x32 tile (dead row/col weights are zero).
 _cy, _cx = np.mgrid[-PATCH_RADIUS : PATCH_RADIUS + 1, -PATCH_RADIUS : PATCH_RADIUS + 1]
 _circle = ((_cx**2 + _cy**2) <= PATCH_RADIUS**2).astype(np.float32)
-_MOMENTS = np.stack(
-    [(_cx * _circle).reshape(-1), (_cy * _circle).reshape(-1)], axis=1
-)  # (961, 2) → m10, m01
+_MOMENTS = np.zeros((PATCH_DIM, PATCH_DIM, 2), dtype=np.float32)
+_MOMENTS[:PATCH_SIZE, :PATCH_SIZE, 0] = _cx * _circle
+_MOMENTS[:PATCH_SIZE, :PATCH_SIZE, 1] = _cy * _circle
+_MOMENTS = _MOMENTS.reshape(PATCH_PIXELS, 2)  # → m10, m01
 
 
 def _build_comparison_bank() -> np.ndarray:
@@ -74,8 +83,8 @@ def _build_comparison_bank() -> np.ndarray:
         for j in range(NUM_PAIRS):
             x1, y1 = ri[j, 0]
             x2, y2 = ri[j, 1]
-            idx1 = (y1 + PATCH_RADIUS) * PATCH_SIZE + (x1 + PATCH_RADIUS)
-            idx2 = (y2 + PATCH_RADIUS) * PATCH_SIZE + (x2 + PATCH_RADIUS)
+            idx1 = (y1 + PATCH_RADIUS) * PATCH_DIM + (x1 + PATCH_RADIUS)
+            idx2 = (y2 + PATCH_RADIUS) * PATCH_DIM + (x2 + PATCH_RADIUS)
             bank[idx2, b, j] += 1.0
             bank[idx1, b, j] -= 1.0
     return bank.reshape(PATCH_PIXELS, NUM_ANGLE_BINS * NUM_PAIRS)
@@ -91,7 +100,8 @@ class BriefConfig:
 
 
 def extract_patches(image: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
-    """(N, 961) flattened 31x31 patches around integer keypoint locations.
+    """(N, 1024) flattened 32x32 tiles around integer keypoint locations
+    (31x31 logical patch + one dead row/col zeroed out by the bank).
 
     ``lax.dynamic_slice`` clamps starts near borders; detection's border
     margin keeps real keypoints fully interior, so clamping only affects
@@ -100,18 +110,19 @@ def extract_patches(image: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     On TPU this dispatches to the Pallas DMA-pipeline kernel
     (``ops.pallas_patches``): XLA serialises the N dynamic slices at
     ~1.1 µs each (2.23 ms/frame at N=2048) where the kernel overlaps the
-    copies (0.73 ms, bit-identical). ``MVSLAM_PALLAS_PATCHES=0`` forces
+    copies — bit-identical output. ``MVSLAM_PALLAS_PATCHES=0`` forces
     the XLA path.
     """
     if _use_pallas_patches():
         from mvslam_tpu.ops.pallas_patches import extract_patches_pallas
 
         return extract_patches_pallas(image, xy)
-    xi = xy[:, 0].astype(jnp.int32) - PATCH_RADIUS
-    yi = xy[:, 1].astype(jnp.int32) - PATCH_RADIUS
+    h, w = image.shape
+    xi = jnp.clip(xy[:, 0].astype(jnp.int32) - PATCH_RADIUS, 0, w - PATCH_DIM)
+    yi = jnp.clip(xy[:, 1].astype(jnp.int32) - PATCH_RADIUS, 0, h - PATCH_DIM)
 
     def one(yy, xx):
-        return jax.lax.dynamic_slice(image, (yy, xx), (PATCH_SIZE, PATCH_SIZE))
+        return jax.lax.dynamic_slice(image, (yy, xx), (PATCH_DIM, PATCH_DIM))
 
     patches = jax.vmap(one)(yi, xi)
     return patches.reshape(xy.shape[0], PATCH_PIXELS)

@@ -82,10 +82,10 @@ def _pack_starts(image_hw, xy):
     """Clamped patch starts packed into one int32 per keypoint."""
     h, w = image_hw
     radius = PATCH_SIZE // 2
-    # Identical clamping to lax.dynamic_slice: starts clipped so the full
-    # window stays inside the image.
-    yi = jnp.clip(xy[..., 1].astype(jnp.int32) - radius, 0, h - PATCH_SIZE)
-    xi = jnp.clip(xy[..., 0].astype(jnp.int32) - radius, 0, w - PATCH_SIZE)
+    # Identical clamping to the XLA path: starts clipped so the full
+    # 32x32 output tile stays inside the image.
+    yi = jnp.clip(xy[..., 1].astype(jnp.int32) - radius, 0, h - _OUT_H)
+    xi = jnp.clip(xy[..., 0].astype(jnp.int32) - radius, 0, w - _OUT_W)
     return ((yi // 8) << 18) | ((xi // 128) << 10) | ((yi % 8) << 7) | (xi % 128)
 
 
@@ -101,7 +101,7 @@ def _pad_image(image):
 def extract_patches_pallas(
     image: jnp.ndarray, xy: jnp.ndarray, *, interpret: bool = False
 ) -> jnp.ndarray:
-    """(N, 961) flattened 31x31 patches at integer keypoint locations.
+    """(N, 1024) flattened 32x32 patch tiles at integer keypoint locations.
 
     Exact drop-in for the XLA path in ``ops.brief.extract_patches``
     (including its border clamp semantics). ``interpret=True`` runs the
@@ -143,7 +143,7 @@ def _extract_single(image, xy, *, interpret=False):
         grid_spec=grid_spec,
         interpret=interpret,
     )(packed, padded)
-    return out[:n, :PATCH_SIZE, :PATCH_SIZE].reshape(n, PATCH_SIZE * PATCH_SIZE)
+    return out[:n].reshape(n, _OUT_H * _OUT_W)
 
 
 @jax.custom_batching.custom_vmap
@@ -162,7 +162,7 @@ def _extract_vmap_rule(axis_size, in_batched, image, xy):
 
 
 def _extract_batched(image: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
-    """(B, N, 961) patches with ONE pallas_call over a (B, chunks) grid.
+    """(B, N, 1024) patches with ONE pallas_call over a (B, chunks) grid.
 
     vmap's default pallas lowering wraps the single-frame kernel in a
     device while-loop with a dynamic-update-slice per frame (profiled at
@@ -239,4 +239,4 @@ def _extract_batched(image: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
         out_shape=jax.ShapeDtypeStruct((b, total, _OUT_H, _OUT_W), image.dtype),
         grid_spec=grid_spec,
     )(packed, padded)
-    return out[:, :n, :PATCH_SIZE, :PATCH_SIZE].reshape(b, n, PATCH_SIZE * PATCH_SIZE)
+    return out[:, :n].reshape(b, n, _OUT_H * _OUT_W)

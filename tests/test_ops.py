@@ -294,7 +294,7 @@ class TestPallasPatches:
         """Pallas DMA patch kernel == vmapped dynamic_slice, bit for bit
         (interpret mode on CPU; compiled path covered on TPU), including
         border-clamped keypoints and a non-CHUNK-multiple count."""
-        from mvslam_tpu.ops.brief import PATCH_SIZE, PATCH_PIXELS
+        from mvslam_tpu.ops.brief import PATCH_DIM, PATCH_PIXELS, PATCH_RADIUS
         from mvslam_tpu.ops.pallas_patches import extract_patches_pallas
 
         rng = np.random.default_rng(3)
@@ -306,11 +306,11 @@ class TestPallasPatches:
             ).astype(np.float32)
         )
 
-        xi = jnp.clip(xy[:, 0].astype(jnp.int32) - PATCH_SIZE // 2, 0, 160 - PATCH_SIZE)
-        yi = jnp.clip(xy[:, 1].astype(jnp.int32) - PATCH_SIZE // 2, 0, 96 - PATCH_SIZE)
+        xi = jnp.clip(xy[:, 0].astype(jnp.int32) - PATCH_RADIUS, 0, 160 - PATCH_DIM)
+        yi = jnp.clip(xy[:, 1].astype(jnp.int32) - PATCH_RADIUS, 0, 96 - PATCH_DIM)
 
         def one(yy, xx):
-            return jax.lax.dynamic_slice(img, (yy, xx), (PATCH_SIZE, PATCH_SIZE))
+            return jax.lax.dynamic_slice(img, (yy, xx), (PATCH_DIM, PATCH_DIM))
 
         ref = np.asarray(jax.vmap(one)(yi, xi)).reshape(n, PATCH_PIXELS)
         pal = np.asarray(extract_patches_pallas(img, xy, interpret=True))
