@@ -40,6 +40,10 @@ def detect_and_describe(
         budget = per_level if level < num_levels - 1 else num_features - per_level * (num_levels - 1)
         budget = max(1, budget)
         xy, scores, valid = detect_keypoints(img, num_keypoints=budget, config=fast_config)
+        # (A bf16 blurred image would halve the patch DMA traffic with
+        # bit-identical descriptors — description already consumes bf16 —
+        # but Mosaic's dynamic rotate only supports 32-bit data, so the
+        # slab-shift kernel keeps the image in f32 for now.)
         blurred = gaussian_blur(img, sigma=brief_config.blur_sigma, radius=brief_config.blur_radius)
         desc, angles = describe_keypoints(blurred, xy, valid, config=brief_config)
         scale = float(2**level)

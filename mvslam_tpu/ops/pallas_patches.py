@@ -17,7 +17,9 @@ Mosaic constraints shape the design:
 - The sub-tile offset (y%8, x%128) is applied in-register with
   ``pltpu.roll`` (dynamic rotate), then trimmed to the patch window.
 - Scalar-prefetch SMEM is ~1 MB; all four per-keypoint fields are packed
-  into one int32 (tile_y:12 | tile_x:8 | y%8:3 | x%128:7).
+  into one int32 (tile_y:12 | tile_x:8 | y_in_tile:4 | x%128:7); sublane
+  alignment (and so slab geometry) depends on dtype — 8 rows for f32,
+  16 for bf16.
 
 Parity: reference ``feature_pipeline.py.bak`` samples BRIEF pixels with
 cv2; this is the TPU substrate for ``ops.brief.extract_patches``.
@@ -33,66 +35,84 @@ from jax.experimental.pallas import tpu as pltpu
 PATCH_SIZE = 31
 _CHUNK = 256  # keypoints per grid step
 _DEPTH = 16  # DMA pipeline depth (measured best among 8/16/32)
-_SLAB_H, _SLAB_W = 40, 256  # aligned slab: 8 | 40 rows, 128 | 256 lanes
+_SLAB_W = 256  # lanes: 128-aligned start + 32 patch cols <= 256
 _OUT_H, _OUT_W = 32, 32
 
 
-def _kernel(packed_ref, image_ref, out_ref, slabs, sems):
-    i = pl.program_id(0)
-
-    def get_dma(k):
-        packed = packed_ref[i * _CHUNK + k]
-        y8 = (packed >> 18) * 8  # tile index * 8: provably aligned
-        x128 = ((packed >> 10) & 0xFF) * 128
-        return pltpu.make_async_copy(
-            image_ref.at[pl.ds(y8, _SLAB_H), pl.ds(x128, _SLAB_W)],
-            slabs.at[k % _DEPTH],
-            sems.at[k % _DEPTH],
-        )
-
-    def warm(k, _):
-        get_dma(k).start()
-        return _
-
-    jax.lax.fori_loop(0, _DEPTH, warm, None, unroll=True)
-
-    def body(k, _):
-        get_dma(k).wait()
-        packed = packed_ref[i * _CHUNK + k]
-        r = (packed >> 7) & 0x7
-        c = packed & 0x7F
-        slab = slabs[k % _DEPTH]
-        # Non-negative cyclic shifts; rows/cols of interest never wrap
-        # (r <= 7, 7 + 31 <= 40; c <= 127, 127 + 31 <= 256).
-        slab = pltpu.roll(slab, (_SLAB_H - r) % _SLAB_H, axis=0)
-        slab = pltpu.roll(slab, (_SLAB_W - c) % _SLAB_W, axis=1)
-        out_ref[k] = slab[:_OUT_H, :_OUT_W]
-
-        # Reuses slot k % DEPTH — must start only after the slab is consumed.
-        @pl.when(k + _DEPTH < _CHUNK)
-        def _():
-            get_dma(k + _DEPTH).start()
-
-        return _
-
-    jax.lax.fori_loop(0, _CHUNK, body, None)
+def _geometry(dtype):
+    """(y_align, slab_h) per dtype: DMA row starts must be sublane-tile
+    aligned — 8 rows for f32, 16 for bf16 — and the slab must cover the
+    max in-tile offset plus the 32-row output window."""
+    if dtype == jnp.bfloat16:
+        return 16, 48
+    return 8, 40
 
 
-def _pack_starts(image_hw, xy):
-    """Clamped patch starts packed into one int32 per keypoint."""
+def _make_kernel(y_align, slab_h):
+    def _kernel(packed_ref, image_ref, out_ref, slabs, sems):
+        i = pl.program_id(0)
+
+        def get_dma(k):
+            packed = packed_ref[i * _CHUNK + k]
+            ya = (packed >> 19) * y_align  # tile index * align: provably aligned
+            x128 = ((packed >> 11) & 0xFF) * 128
+            return pltpu.make_async_copy(
+                image_ref.at[pl.ds(ya, slab_h), pl.ds(x128, _SLAB_W)],
+                slabs.at[k % _DEPTH],
+                sems.at[k % _DEPTH],
+            )
+
+        def warm(k, _):
+            get_dma(k).start()
+            return _
+
+        jax.lax.fori_loop(0, _DEPTH, warm, None, unroll=True)
+
+        def body(k, _):
+            get_dma(k).wait()
+            packed = packed_ref[i * _CHUNK + k]
+            r = (packed >> 7) & 0xF
+            c = packed & 0x7F
+            slab = slabs[k % _DEPTH]
+            # Non-negative cyclic shifts; rows/cols of interest never wrap
+            # (r < y_align, y_align + 32 <= slab_h; c <= 127, 127 + 32 <= 256).
+            slab = pltpu.roll(slab, (slab_h - r) % slab_h, axis=0)
+            slab = pltpu.roll(slab, (_SLAB_W - c) % _SLAB_W, axis=1)
+            out_ref[k] = slab[:_OUT_H, :_OUT_W]
+
+            # Reuses slot k % DEPTH — must start only after the slab is consumed.
+            @pl.when(k + _DEPTH < _CHUNK)
+            def _():
+                get_dma(k + _DEPTH).start()
+
+            return _
+
+        jax.lax.fori_loop(0, _CHUNK, body, None)
+
+    return _kernel
+
+
+def _pack_starts(image_hw, xy, y_align):
+    """Clamped patch starts packed into one int32 per keypoint:
+    y_tile:12 | x_tile:8 | y_in_tile:4 | x_in_tile:7."""
     h, w = image_hw
     radius = PATCH_SIZE // 2
     # Identical clamping to the XLA path: starts clipped so the full
     # 32x32 output tile stays inside the image.
     yi = jnp.clip(xy[..., 1].astype(jnp.int32) - radius, 0, h - _OUT_H)
     xi = jnp.clip(xy[..., 0].astype(jnp.int32) - radius, 0, w - _OUT_W)
-    return ((yi // 8) << 18) | ((xi // 128) << 10) | ((yi % 8) << 7) | (xi % 128)
+    return (
+        ((yi // y_align) << 19)
+        | ((xi // 128) << 11)
+        | ((yi % y_align) << 7)
+        | (xi % 128)
+    )
 
 
-def _pad_image(image):
-    # Aligned slabs can overhang the image by <40 rows / <256 lanes.
+def _pad_image(image, y_align, slab_h):
+    # Aligned slabs can overhang the image by <slab_h rows / <256 lanes.
     h, w = image.shape[-2], image.shape[-1]
-    pad_h = (-h) % 8 + _SLAB_H
+    pad_h = (-h) % y_align + slab_h
     pad_w = (-w) % 128 + _SLAB_W
     cfg = [(0, 0)] * (image.ndim - 2) + [(0, pad_h), (0, pad_w)]
     return jnp.pad(image, cfg)
@@ -117,8 +137,9 @@ def extract_patches_pallas(
 def _extract_single(image, xy, *, interpret=False):
     h, w = image.shape
     n = xy.shape[0]
-    padded = _pad_image(image)
-    packed = _pack_starts((h, w), xy)
+    y_align, slab_h = _geometry(image.dtype)
+    padded = _pad_image(image, y_align, slab_h)
+    packed = _pack_starts((h, w), xy, y_align)
     num_chunks = -(-n // _CHUNK)
     total = num_chunks * _CHUNK
     if total != n:
@@ -133,12 +154,12 @@ def _extract_single(image, xy, *, interpret=False):
             (_CHUNK, _OUT_H, _OUT_W), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((_DEPTH, _SLAB_H, _SLAB_W), image.dtype),
+            pltpu.VMEM((_DEPTH, slab_h, _SLAB_W), image.dtype),
             pltpu.SemaphoreType.DMA((_DEPTH,)),
         ],
     )
     out = pl.pallas_call(
-        _kernel,
+        _make_kernel(y_align, slab_h),
         out_shape=jax.ShapeDtypeStruct((total, _OUT_H, _OUT_W), image.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -171,8 +192,9 @@ def _extract_batched(image: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     """
     b, h, w = image.shape
     n = xy.shape[1]
-    padded = _pad_image(image)
-    packed = _pack_starts((h, w), xy)  # (B, N)
+    y_align, slab_h = _geometry(image.dtype)
+    padded = _pad_image(image, y_align, slab_h)
+    packed = _pack_starts((h, w), xy, y_align)  # (B, N)
     num_chunks = -(-n // _CHUNK)
     total = num_chunks * _CHUNK
     if total != n:
@@ -188,10 +210,10 @@ def _extract_batched(image: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
 
         def get_dma(k):
             p = packed_ref[base + k]
-            y8 = (p >> 18) * 8
-            x128 = ((p >> 10) & 0xFF) * 128
+            ya = (p >> 19) * y_align
+            x128 = ((p >> 11) & 0xFF) * 128
             return pltpu.make_async_copy(
-                image_ref.at[bi, pl.ds(y8, _SLAB_H), pl.ds(x128, _SLAB_W)],
+                image_ref.at[bi, pl.ds(ya, slab_h), pl.ds(x128, _SLAB_W)],
                 slabs.at[k % _DEPTH],
                 sems.at[k % _DEPTH],
             )
@@ -205,10 +227,10 @@ def _extract_batched(image: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
         def body(k, _):
             get_dma(k).wait()
             p = packed_ref[base + k]
-            r = (p >> 7) & 0x7
+            r = (p >> 7) & 0xF
             c = p & 0x7F
             slab = slabs[k % _DEPTH]
-            slab = pltpu.roll(slab, (_SLAB_H - r) % _SLAB_H, axis=0)
+            slab = pltpu.roll(slab, (slab_h - r) % slab_h, axis=0)
             slab = pltpu.roll(slab, (_SLAB_W - c) % _SLAB_W, axis=1)
             out_ref[0, k] = slab[:_OUT_H, :_OUT_W]
 
@@ -230,7 +252,7 @@ def _extract_batched(image: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((_DEPTH, _SLAB_H, _SLAB_W), image.dtype),
+            pltpu.VMEM((_DEPTH, slab_h, _SLAB_W), image.dtype),
             pltpu.SemaphoreType.DMA((_DEPTH,)),
         ],
     )
