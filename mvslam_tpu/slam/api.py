@@ -69,6 +69,11 @@ class SLAMSystemConfig:
     feature: FeaturePipelineConfig = field(default_factory=FeaturePipelineConfig)
     pose: RobustPoseEstimatorConfig = field(default_factory=RobustPoseEstimatorConfig)
     keyframe: KeyframeConfig = field(default_factory=KeyframeConfig)
+    # Pose source for the single-frame path: "features" (detect+match) or
+    # "flow_first" (pyramidal LK tracks with feature-matching fallback —
+    # parity: visual_slam_offline_entry_point.py:484-539).
+    pose_source: str = "features"
+    flow_min_tracks: int = 30
     # Relocalization
     enable_relocalization: bool = True
     relocalization_min_inliers: int = 20
@@ -149,6 +154,7 @@ class SLAMSystem:
         self._track_key = self.registry.key_for("tracking")
         self._pose = np.eye(4, dtype=np.float64)
         self._prev_features = None
+        self._prev_gray = None  # device grayscale; only kept for flow_first
         self._frame_count = 0
         self._failure_count = 0
         self._reloc_count = 0
@@ -194,6 +200,10 @@ class SLAMSystem:
                 with timed_event(self.telemetry, "feature_detect", metadata={"frame_id": frame_id}):
                     self._prev_features = bootstrap_frame(frame_dev, self.config.feature)
                     num_feat = int(np.asarray(self._prev_features.valid).sum())
+                if self.config.pose_source == "flow_first":
+                    from mvslam_tpu.slam.tracking import frame_to_gray
+
+                    self._prev_gray = frame_to_gray(frame_dev)
                 diag.num_features = num_feat
                 diag.pose_success = True
                 diag.model_type = "bootstrap"
@@ -212,16 +222,19 @@ class SLAMSystem:
                 return diag
 
             key = jax.random.fold_in(self._track_key, frame_id)
-            with timed_event(self.telemetry, "track_step", metadata={"frame_id": frame_id}):
-                features, track = track_frame(
-                    key,
-                    self._prev_features,
-                    frame_dev,
-                    self._K_dev,
-                    self.config.feature,
-                    self.config.pose,
-                )
-                scalars = pull_scalars(track)
+            if self.config.pose_source == "flow_first" and self._prev_gray is not None:
+                features, track, scalars = self._track_flow_first(key, frame_dev, frame_id)
+            else:
+                with timed_event(self.telemetry, "track_step", metadata={"frame_id": frame_id}):
+                    features, track = track_frame(
+                        key,
+                        self._prev_features,
+                        frame_dev,
+                        self._K_dev,
+                        self.config.feature,
+                        self.config.pose,
+                    )
+                    scalars = pull_scalars(track)
 
             self._prev_features = features
 
@@ -232,6 +245,61 @@ class SLAMSystem:
 
             self._handle_tracked_frame(frame_id, timestamp, diag, scalars, provider)
         return diag
+
+    def _track_flow_first(self, key, frame_dev, frame_id):
+        """LK flow pose with feature-matching fallback (single-frame path).
+
+        Parity: the reference's pose priority chain — optical flow first,
+        feature matching second (``visual_slam_offline_entry_point.py:484-539``).
+        """
+        from mvslam_tpu.slam.tracking import match_and_estimate, track_frame_flow
+
+        with timed_event(self.telemetry, "track_step_flow", metadata={"frame_id": frame_id}):
+            gray, features, track = track_frame_flow(
+                key,
+                self._prev_gray,
+                self._prev_features,
+                frame_dev,
+                self._K_dev,
+                self.config.feature,
+                self.config.pose,
+            )
+            scalars = pull_scalars(track)
+        self._prev_gray = gray
+
+        flow_ok = int(scalars["num_matches"]) >= self.config.flow_min_tracks
+        if flow_ok:
+            try:
+                apply_stability_gates(self.config.pose, self._metrics_from_scalars(scalars))
+            except PoseEstimationFailure:
+                flow_ok = False
+        if flow_ok:
+            scalars["_pose_source"] = "flow"
+            return features, track, scalars
+
+        with timed_event(self.telemetry, "track_step_fallback", metadata={"frame_id": frame_id}):
+            track = match_and_estimate(
+                key,
+                self._prev_features,
+                features,
+                self._K_dev,
+                self.config.feature,
+                self.config.pose,
+            )
+            scalars = pull_scalars(track)
+        return features, track, scalars
+
+    @staticmethod
+    def _metrics_from_scalars(scalars) -> Dict[str, Any]:
+        return {
+            "num_matches": int(scalars["num_matches"]),
+            "num_inliers": int(scalars["num_inliers"]),
+            "inlier_ratio": float(scalars["inlier_ratio"]),
+            "median_parallax_deg": float(scalars["median_parallax_deg"]),
+            "cheirality_ratio": float(scalars["cheirality_ratio"]),
+            "score": float(scalars["score"]),
+            "median_displacement_px": float(scalars["median_displacement_px"]),
+        }
 
     def _handle_tracked_frame(self, frame_id, timestamp, diag, scalars, features_provider) -> None:
         """Host control flow shared by the single-frame and windowed paths:
@@ -247,17 +315,10 @@ class SLAMSystem:
         diag.inlier_ratio = float(scalars["inlier_ratio"])
         diag.parallax = float(scalars["median_parallax_deg"])
         diag.cheirality_ratio = float(scalars["cheirality_ratio"])
-        diag.model_type = "essential" if bool(scalars["use_essential"]) else "homography"
+        prefix = "flow_" if scalars.get("_pose_source") == "flow" else ""
+        diag.model_type = prefix + ("essential" if bool(scalars["use_essential"]) else "homography")
 
-        metrics = {
-            "num_matches": diag.num_matches,
-            "num_inliers": diag.num_inliers,
-            "inlier_ratio": diag.inlier_ratio,
-            "median_parallax_deg": diag.parallax,
-            "cheirality_ratio": diag.cheirality_ratio,
-            "score": float(scalars["score"]),
-            "median_displacement_px": float(scalars["median_displacement_px"]),
-        }
+        metrics = self._metrics_from_scalars(scalars)
 
         try:
             if frame_id in self._injected_losses:

@@ -52,6 +52,9 @@ class SLAMRunConfig:
     dynamic_diff_threshold: float = 40.0
     # Local BA over the keyframe window
     enable_local_ba: bool = False
+    # Pose source: "features" or "flow_first" (LK tracks with matching
+    # fallback — the reference's pose priority chain, ref L484-539)
+    pose_source: str = "features"
     # Evaluation
     ground_truth_path: Optional[Path] = None
     # Animation
@@ -201,6 +204,7 @@ def run_visual_slam(config: SLAMRunConfig) -> Dict[str, Any]:
             fx=float(K[0, 0]), fy=float(K[1, 1]), cx=float(K[0, 2]), cy=float(K[1, 2]),
             keyframe=KeyframeConfig(min_translation=0.05),
             enable_local_ba=config.enable_local_ba,
+            pose_source=config.pose_source,
         )
     )
     bow = BoWDatabase(
@@ -327,6 +331,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     parser.add_argument("--loop-min-inliers", type=int, default=30)
     parser.add_argument("--dynamic-masking", action="store_true")
     parser.add_argument("--local-ba", action="store_true")
+    parser.add_argument(
+        "--pose-source", choices=["features", "flow_first"], default="features",
+        help="flow_first: pyramidal LK pose with feature-matching fallback",
+    )
     parser.add_argument("--ground-truth", type=Path, default=None)
     parser.add_argument("--animate", action="store_true")
     args = parser.parse_args(argv)
@@ -345,6 +353,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             loop_min_inliers=args.loop_min_inliers,
             enable_dynamic_masking=args.dynamic_masking,
             enable_local_ba=args.local_ba,
+            pose_source=args.pose_source,
             ground_truth_path=args.ground_truth,
             enable_animation=args.animate,
         )

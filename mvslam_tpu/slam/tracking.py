@@ -143,6 +143,9 @@ def bootstrap_frame(frame: jnp.ndarray, feature_config: FeaturePipelineConfig) -
     return _detect_describe(frame, feature_config)
 
 
+frame_to_gray = jax.jit(rgb_to_gray)
+
+
 @partial(jax.jit, static_argnames=("feature_config", "pose_config"))
 def track_frame(
     key,
@@ -279,6 +282,53 @@ def track_superwindow(
 
     last, tracks = jax.lax.scan(body, prev_features, (chunks, starts))
     return last, tracks
+
+
+@partial(jax.jit, static_argnames=("feature_config", "pose_config", "lk_config"))
+def track_frame_flow(
+    key,
+    prev_gray: jnp.ndarray,  # (H, W) f32 grayscale of the previous frame
+    prev_features: FeatureSet,
+    frame: jnp.ndarray,
+    K: jnp.ndarray,
+    feature_config: FeaturePipelineConfig,
+    pose_config: RobustPoseEstimatorConfig,
+    lk_config=None,
+) -> Tuple[jnp.ndarray, FeatureSet, TrackResult]:
+    """Flow-first tracking: pose from pyramidal LK point tracks.
+
+    The reference's offline demo estimates pose from cv2.calcOpticalFlowPyrLK
+    tracks first and falls back to feature matching
+    (``visual_slam_offline_entry_point.py:36-55, 484-539``); this is the
+    fused TPU analog. The new frame's features are still detected in the
+    same program (keyframes, loop closure, and the matching fallback need
+    them), but the pose comes from flowed previous keypoints.
+
+    Returns ``(gray, features, track)`` — ``gray`` seeds the next call's
+    ``prev_gray``; ``track.num_matches`` counts valid LK tracks.
+    """
+    from mvslam_tpu.ops.lk import LKConfig, lk_track
+
+    lk_config = lk_config or LKConfig()
+    gray = rgb_to_gray(frame)
+    features = _detect_describe(frame, feature_config)
+    nxt_pts, residuals, flow_valid = lk_track(
+        prev_gray, gray, prev_features.xy, prev_features.valid, lk_config
+    )
+    pose = estimate_pose_device(key, prev_features.xy, nxt_pts, flow_valid, K, pose_config)
+    num_tracks = jnp.sum(flow_valid).astype(jnp.int32)
+    track = TrackResult(
+        pose=pose,
+        matched_p1=prev_features.xy,
+        matched_p2=nxt_pts,
+        match_mask=flow_valid,
+        match_distances=residuals,
+        num_matches=num_tracks,
+        num_features=jnp.sum(features.valid).astype(jnp.int32),
+        scalars_packed=_pack_values(pose, num_tracks, jnp.sum(features.valid).astype(jnp.int32)),
+        features_packed=_pack_features(features),
+    )
+    return gray, features, track
 
 
 @partial(jax.jit, static_argnames=("feature_config", "pose_config"))

@@ -355,3 +355,72 @@ class TestMultiScaleDetection:
 
         with pytest.raises(ValueError):
             FeaturePipelineConfig(num_pyramid_levels=0)
+
+
+class TestLucasKanade:
+    def _textured(self, h=160, w=220, seed=9):
+        rng = np.random.default_rng(seed)
+        img = rng.uniform(0, 30, size=(h, w)).astype(np.float32)
+        for _ in range(60):
+            y, x = rng.integers(20, h - 26), rng.integers(20, w - 26)
+            s = rng.integers(3, 7)
+            img[y : y + s, x : x + s] = rng.uniform(120, 255)
+        # Smooth a little so gradients are informative.
+        from mvslam_tpu.ops.image import gaussian_blur
+
+        return np.asarray(gaussian_blur(jnp.asarray(img), sigma=1.0, radius=2))
+
+    def test_recovers_integer_translation(self):
+        from mvslam_tpu.ops.lk import LKConfig, lk_track
+
+        img = self._textured()
+        dx, dy = 5, -3
+        nxt = np.roll(np.roll(img, dy, axis=0), dx, axis=1)
+        rng = np.random.default_rng(1)
+        pts = np.stack(
+            [rng.uniform(40, 180, 64), rng.uniform(40, 120, 64)], axis=-1
+        ).astype(np.float32)
+        mask = np.ones(64, dtype=bool)
+        nxt_pts, res, valid = lk_track(
+            jnp.asarray(img), jnp.asarray(nxt), jnp.asarray(pts), jnp.asarray(mask),
+            LKConfig(num_levels=3, iterations=10),
+        )
+        nxt_pts, valid = np.asarray(nxt_pts), np.asarray(valid)
+        assert valid.sum() >= 40
+        flow = nxt_pts[valid] - pts[valid]
+        err = np.abs(flow - np.array([dx, dy]))
+        assert np.median(err) < 0.25, (np.median(err), flow[:5])
+
+    def test_flat_regions_rejected(self):
+        from mvslam_tpu.ops.lk import LKConfig, lk_track
+
+        img = np.full((128, 160), 50.0, dtype=np.float32)
+        pts = np.array([[80.0, 64.0], [40.0, 40.0]], dtype=np.float32)
+        mask = np.ones(2, dtype=bool)
+        _, _, valid = lk_track(
+            jnp.asarray(img), jnp.asarray(img), jnp.asarray(pts), jnp.asarray(mask),
+            LKConfig(num_levels=1, iterations=4),
+        )
+        assert not bool(np.asarray(valid).any())
+
+    def test_subpixel_translation(self):
+        from mvslam_tpu.ops.lk import LKConfig, lk_track
+
+        img = self._textured(seed=12)
+        # Sub-pixel shift by bilinear resampling the source at +0.5 px.
+        sx = 0.5
+        shifted = 0.5 * img + 0.5 * np.roll(img, -1, axis=1)  # I(x + 0.5)
+        # shifted(x) = I(x + 0.5) means content moved LEFT by 0.5 -> flow -0.5
+        rng = np.random.default_rng(2)
+        pts = np.stack(
+            [rng.uniform(40, 180, 48), rng.uniform(40, 120, 48)], axis=-1
+        ).astype(np.float32)
+        mask = np.ones(48, dtype=bool)
+        nxt_pts, _, valid = lk_track(
+            jnp.asarray(img), jnp.asarray(shifted), jnp.asarray(pts), jnp.asarray(mask),
+            LKConfig(num_levels=2, iterations=10),
+        )
+        nxt_pts, valid = np.asarray(nxt_pts), np.asarray(valid)
+        assert valid.sum() >= 30
+        flow_x = (nxt_pts[valid] - pts[valid])[:, 0]
+        assert abs(np.median(flow_x) + sx) < 0.2, np.median(flow_x)

@@ -264,3 +264,39 @@ class TestRelocalizationE2E:
         assert result.num_relocalizations >= 1
         assert result.map_snapshot_paths is not None
         assert result.map_snapshot_paths["arrays"].exists()
+
+
+class TestFlowFirstTracking:
+    def test_flow_first_tracks_sequence(self, tmp_path):
+        """pose_source='flow_first': LK pose path tracks a translating
+        scene; diagnostics record the flow model; trajectory stays close
+        to the feature path's."""
+        frames = make_sequence(num_frames=6, seed=31)
+        sys_feat = SLAMSystem(small_config(tmp_path / "feat"))
+        sys_feat.run_sequence(frames, window=1)
+        sys_flow = SLAMSystem(small_config(tmp_path / "flow", pose_source="flow_first"))
+        diags = sys_flow.run_sequence(frames, window=1)
+        assert len(diags) == 6
+        tracked = [d for d in diags[1:] if d.pose_success]
+        assert len(tracked) >= 4
+        # At least some frames must have used the flow pose path.
+        assert any(d.model_type.startswith("flow_") for d in tracked), [
+            d.model_type for d in diags
+        ]
+        pa = np.stack(sys_feat.trajectory.poses)
+        pb = np.stack(sys_flow.trajectory.poses)
+        # Same scene, same scale convention: translation directions agree.
+        da = pa[-1][:3, 3]
+        db = pb[-1][:3, 3]
+        cos = float(da @ db / (np.linalg.norm(da) * np.linalg.norm(db) + 1e-9))
+        assert cos > 0.9, (da, db)
+
+    def test_flow_fallback_on_blank_interlude(self, tmp_path):
+        """When LK cannot track (featureless frame), the feature-matching
+        fallback (and then the failure path) engages instead of crashing."""
+        frames = make_sequence(num_frames=4, seed=32)
+        frames[2] = np.zeros_like(frames[2])  # featureless frame
+        system = SLAMSystem(small_config(tmp_path, pose_source="flow_first"))
+        diags = system.run_sequence(frames, window=1)
+        assert len(diags) == 4
+        assert not diags[2].pose_success  # blank frame cannot produce a pose
