@@ -99,7 +99,7 @@ class BriefConfig:
     blur_radius: int = 4
 
 
-def extract_patches(image: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+def extract_patches(image: jnp.ndarray, xy: jnp.ndarray, out_dtype=None) -> jnp.ndarray:
     """(N, 1024) flattened 32x32 tiles around integer keypoint locations
     (31x31 logical patch + one dead row/col zeroed out by the bank).
 
@@ -116,7 +116,7 @@ def extract_patches(image: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     if _use_pallas_patches():
         from mvslam_tpu.ops.pallas_patches import extract_patches_pallas
 
-        return extract_patches_pallas(image, xy)
+        return extract_patches_pallas(image, xy, out_dtype=out_dtype)
     h, w = image.shape
     xi = jnp.clip(xy[:, 0].astype(jnp.int32) - PATCH_RADIUS, 0, w - PATCH_DIM)
     yi = jnp.clip(xy[:, 1].astype(jnp.int32) - PATCH_RADIUS, 0, h - PATCH_DIM)
@@ -125,6 +125,8 @@ def extract_patches(image: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
         return jax.lax.dynamic_slice(image, (yy, xx), (PATCH_DIM, PATCH_DIM))
 
     patches = jax.vmap(one)(yi, xi)
+    if out_dtype is not None:
+        patches = patches.astype(out_dtype)
     return patches.reshape(xy.shape[0], PATCH_PIXELS)
 
 

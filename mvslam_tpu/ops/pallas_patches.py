@@ -50,6 +50,10 @@ def _geometry(dtype):
 
 def _make_kernel(y_align, slab_h):
     def _kernel(packed_ref, image_ref, out_ref, slabs, sems):
+        # out_ref may be a narrower dtype than the slab (e.g. bf16 patches
+        # from an f32 image): the rotate runs at 32 bits (Mosaic's dynamic
+        # rotate requirement) and the convert happens in-register on the
+        # 32x32 window, halving the output write.
         i = pl.program_id(0)
 
         def get_dma(k):
@@ -78,7 +82,7 @@ def _make_kernel(y_align, slab_h):
             # (r < y_align, y_align + 32 <= slab_h; c <= 127, 127 + 32 <= 256).
             slab = pltpu.roll(slab, (slab_h - r) % slab_h, axis=0)
             slab = pltpu.roll(slab, (_SLAB_W - c) % _SLAB_W, axis=1)
-            out_ref[k] = slab[:_OUT_H, :_OUT_W]
+            out_ref[k] = slab[:_OUT_H, :_OUT_W].astype(out_ref.dtype)
 
             # Reuses slot k % DEPTH — must start only after the slab is consumed.
             @pl.when(k + _DEPTH < _CHUNK)
@@ -119,7 +123,7 @@ def _pad_image(image, y_align, slab_h):
 
 
 def extract_patches_pallas(
-    image: jnp.ndarray, xy: jnp.ndarray, *, interpret: bool = False
+    image: jnp.ndarray, xy: jnp.ndarray, *, out_dtype=None, interpret: bool = False
 ) -> jnp.ndarray:
     """(N, 1024) flattened 32x32 patch tiles at integer keypoint locations.
 
@@ -130,13 +134,18 @@ def extract_patches_pallas(
     window rather than the per-frame loop vmap lowering would emit).
     """
     if interpret:
-        return _extract_single(image, xy, interpret=True)
-    return _extract_vmappable(image, xy)
+        return _extract_single(image, xy, out_dtype=out_dtype, interpret=True)
+    if out_dtype is None or out_dtype == image.dtype:
+        return _extract_vmappable(image, xy)
+    if out_dtype != jnp.bfloat16:
+        raise ValueError("only bf16 output narrowing is supported")
+    return _extract_vmappable_narrow(image, xy)
 
 
-def _extract_single(image, xy, *, interpret=False):
+def _extract_single(image, xy, *, out_dtype=None, interpret=False):
     h, w = image.shape
     n = xy.shape[0]
+    out_dtype = out_dtype or image.dtype
     y_align, slab_h = _geometry(image.dtype)
     padded = _pad_image(image, y_align, slab_h)
     packed = _pack_starts((h, w), xy, y_align)
@@ -160,7 +169,7 @@ def _extract_single(image, xy, *, interpret=False):
     )
     out = pl.pallas_call(
         _make_kernel(y_align, slab_h),
-        out_shape=jax.ShapeDtypeStruct((total, _OUT_H, _OUT_W), image.dtype),
+        out_shape=jax.ShapeDtypeStruct((total, _OUT_H, _OUT_W), out_dtype),
         grid_spec=grid_spec,
         interpret=interpret,
     )(packed, padded)
@@ -182,7 +191,22 @@ def _extract_vmap_rule(axis_size, in_batched, image, xy):
     return _extract_batched(image, xy), True
 
 
-def _extract_batched(image: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+@jax.custom_batching.custom_vmap
+def _extract_vmappable_narrow(image, xy):
+    return _extract_single(image, xy, out_dtype=jnp.bfloat16)
+
+
+@_extract_vmappable_narrow.def_vmap
+def _extract_vmap_rule_narrow(axis_size, in_batched, image, xy):
+    image_batched, xy_batched = in_batched
+    if not image_batched:
+        image = jnp.broadcast_to(image[None], (axis_size, *image.shape))
+    if not xy_batched:
+        xy = jnp.broadcast_to(xy[None], (axis_size, *xy.shape))
+    return _extract_batched(image, xy, out_dtype=jnp.bfloat16), True
+
+
+def _extract_batched(image: jnp.ndarray, xy: jnp.ndarray, out_dtype=None) -> jnp.ndarray:
     """(B, N, 1024) patches with ONE pallas_call over a (B, chunks) grid.
 
     vmap's default pallas lowering wraps the single-frame kernel in a
@@ -192,6 +216,7 @@ def _extract_batched(image: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     """
     b, h, w = image.shape
     n = xy.shape[1]
+    out_dtype = out_dtype or image.dtype
     y_align, slab_h = _geometry(image.dtype)
     padded = _pad_image(image, y_align, slab_h)
     packed = _pack_starts((h, w), xy, y_align)  # (B, N)
@@ -232,7 +257,7 @@ def _extract_batched(image: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
             slab = slabs[k % _DEPTH]
             slab = pltpu.roll(slab, (slab_h - r) % slab_h, axis=0)
             slab = pltpu.roll(slab, (_SLAB_W - c) % _SLAB_W, axis=1)
-            out_ref[0, k] = slab[:_OUT_H, :_OUT_W]
+            out_ref[0, k] = slab[:_OUT_H, :_OUT_W].astype(out_ref.dtype)
 
             @pl.when(k + _DEPTH < _CHUNK)
             def _():
@@ -258,7 +283,7 @@ def _extract_batched(image: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, total, _OUT_H, _OUT_W), image.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, total, _OUT_H, _OUT_W), out_dtype),
         grid_spec=grid_spec,
     )(packed, padded)
     return out[:, :n].reshape(b, n, _OUT_H * _OUT_W)
