@@ -23,6 +23,7 @@ def detect_and_describe(
     fast_config: FastConfig,
     brief_config: BriefConfig,
     num_levels: int = 1,
+    score_image: jnp.ndarray = None,
 ):
     """(H, W) grayscale → (xy, scores, descriptors, angles, valid).
 
@@ -39,7 +40,11 @@ def detect_and_describe(
             break
         budget = per_level if level < num_levels - 1 else num_features - per_level * (num_levels - 1)
         budget = max(1, budget)
-        xy, scores, valid = detect_keypoints(img, num_keypoints=budget, config=fast_config)
+        # score_image (the raw integer frame, when available) feeds the
+        # FAST score map's exact int16 fast path at level 0; description
+        # and the pyramid always use the float grayscale.
+        src = score_image if (level == 0 and score_image is not None) else img
+        xy, scores, valid = detect_keypoints(src, num_keypoints=budget, config=fast_config)
         # (A bf16 blurred image would halve the patch DMA traffic with
         # bit-identical descriptors — description already consumes bf16 —
         # but Mosaic's dynamic rotate only supports 32-bit data, so the

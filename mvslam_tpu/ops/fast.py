@@ -56,13 +56,22 @@ def _circle_stack(image: jnp.ndarray) -> jnp.ndarray:
 def fast_score_map(image: jnp.ndarray, threshold: float) -> jnp.ndarray:
     """Dense FAST-9 corner response over an (H, W) image.
 
-    Returns (H, W) float32 scores; 0 where the arc test fails.
+    Returns (H, W) float32 scores; 0 where the arc test fails. Integer
+    images with an integral threshold take an int16 path — identical
+    scores (|diff| ≤ 255 and 16-term sums ≤ 3760 are exact in both), at
+    half the HBM traffic of the f32 shifted-stack (the score map is
+    bandwidth-bound).
     """
-    image = image.astype(jnp.float32)
-    circle = _circle_stack(image)  # (16, H, W)
-    diff = circle - image[None]
-    brighter = diff > threshold
-    darker = diff < -threshold
+    if jnp.issubdtype(image.dtype, jnp.integer) and float(threshold).is_integer():
+        t = jnp.int16(int(threshold))
+        img = image.astype(jnp.int16)
+    else:
+        t = jnp.float32(threshold)
+        img = image.astype(jnp.float32)
+    circle = _circle_stack(img)  # (16, H, W)
+    diff = circle - img[None]
+    brighter = diff > t
+    darker = diff < -t
 
     def has_arc(mask: jnp.ndarray) -> jnp.ndarray:
         # Circular run of _ARC_LENGTH=9 consecutive Trues via log-depth
@@ -81,9 +90,10 @@ def fast_score_map(image: jnp.ndarray, threshold: float) -> jnp.ndarray:
     is_dark_corner = has_arc(darker)
     is_corner = is_bright_corner | is_dark_corner
 
-    excess = jnp.abs(diff) - threshold
-    bright_score = jnp.sum(jnp.where(brighter, excess, 0.0), axis=0)
-    dark_score = jnp.sum(jnp.where(darker, excess, 0.0), axis=0)
+    excess = jnp.abs(diff) - t
+    zero = jnp.zeros((), dtype=excess.dtype)
+    bright_score = jnp.sum(jnp.where(brighter, excess, zero), axis=0, dtype=jnp.float32)
+    dark_score = jnp.sum(jnp.where(darker, excess, zero), axis=0, dtype=jnp.float32)
     score = jnp.maximum(
         jnp.where(is_bright_corner, bright_score, 0.0),
         jnp.where(is_dark_corner, dark_score, 0.0),

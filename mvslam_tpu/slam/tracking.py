@@ -127,12 +127,18 @@ def _detect_describe(frame: jnp.ndarray, feature_config: FeaturePipelineConfig) 
 
     fast, brief, _ = _configs(feature_config)
     gray = rgb_to_gray(frame)
+    score_image = (
+        frame
+        if frame.ndim == 2 and jnp.issubdtype(frame.dtype, jnp.integer)
+        else None
+    )
     xy, scores, desc, angles, valid = detect_and_describe(
         gray,
         feature_config.num_features,
         fast,
         brief,
         num_levels=feature_config.num_pyramid_levels,
+        score_image=score_image,
     )
     return FeatureSet(xy, scores, desc, angles, valid)
 
