@@ -142,7 +142,7 @@ def bench_cpu_reference(frames) -> float:
     return n / (time.perf_counter() - start)
 
 
-def _run_child_passes(num_passes: int = 3) -> float:
+def _run_child_passes(num_passes: int = 4) -> float:
     """Best TPU fps over ``num_passes`` FRESH subprocesses (run serially —
     the tunneled chip serialises clients).
 
@@ -158,7 +158,9 @@ def _run_child_passes(num_passes: int = 3) -> float:
     import sys
 
     best = 0.0
-    for _ in range(num_passes):
+    for attempt in range(num_passes):
+        if attempt:
+            time.sleep(15.0)  # transient tunnel congestion often clears
         env = dict(os.environ, MVSLAM_BENCH_CHILD="1")
         try:
             out = subprocess.run(
