@@ -95,14 +95,25 @@ def smallest_eigvec_psd(S: jnp.ndarray, iterations: int = 10, rescue: bool = Tru
     # as the pose stage's hottest ops), then run the iterations as batched
     # matvecs (near-free on the MXU).
     invert = inv3x3 if n == 3 else _gauss_jordan_inverse
-    S_inv = invert(S + ridge)
+    S_ridged = S + ridge
+    S_inv = invert(S_ridged)
     if rescue:
         # A second inversion with 100x ridge rescues elements whose f32
-        # roundoff left S singular beyond the base ridge. It costs a full
-        # extra inverse, so RANSAC hypothesis batches (where a NaN
-        # candidate merely scores zero inliers) skip it; inlier REFITS
-        # (where a NaN poisons the final model) keep it.
-        bad = ~jnp.isfinite(S_inv).all(axis=(-2, -1), keepdims=True)
+        # roundoff left S singular beyond the base ridge. Unlike the old
+        # Cholesky (which signalled failure with NaN), no-pivot
+        # Gauss-Jordan / clamped adjugate return FINITE garbage on
+        # singular input — but the ridge bounds the TRUE inverse:
+        # λ_min(S+ridge) ≥ 1e-7·tr, so ‖S⁻¹‖_max ≤ 1/(1e-7·tr). Entries
+        # past that bound (10x slack) can only be numerical blow-up.
+        # (An ‖S·S⁻¹−I‖ residual check is the wrong detector here: it
+        # also fires on merely ill-conditioned systems, and the 8-point
+        # refit spectra are legitimately ill-conditioned.) The extra
+        # inverse only runs on the rescue path (inlier REFITS, where a
+        # poisoned model matters); RANSAC hypothesis batches (where a bad
+        # candidate merely scores zero inliers) skip it.
+        bound = 10.0 / (1e-7 * trace + 1e-12)[..., None, None]
+        peak = jnp.max(jnp.abs(S_inv), axis=(-2, -1), keepdims=True)
+        bad = ~jnp.isfinite(peak) | (peak > bound)
         S_inv_big = invert(S + 100.0 * ridge)
         S_inv = jnp.where(bad, S_inv_big, S_inv)
 

@@ -8,6 +8,8 @@ plain g++ + libpng + zlib (all baked into the image), loaded via ctypes.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import hashlib
 import logging
 import os
@@ -46,6 +48,7 @@ def library_path() -> Path:
     return _BUILD_DIR / f"libmvslam_native_{_build_key(_compiler() or 'g++')}.so"
 
 
+@lru_cache(maxsize=1)
 def _compiler() -> Optional[str]:
     for cand in (os.environ.get("CXX"), "g++", "c++", "clang++"):
         if not cand:

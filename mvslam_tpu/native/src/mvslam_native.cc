@@ -152,7 +152,10 @@ int DecodePngGray(const uint8_t* data, size_t size, uint8_t* out,
   if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
   if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8) png_set_expand_gray_1_2_4_to_8(png);
   if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
-  if (color_type & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+  // tRNS expansion can ADD an alpha channel to GRAY/PALETTE inputs whose
+  // color_type lacks the alpha mask, so strip unconditionally (a no-op
+  // when no alpha is present after the transforms above).
+  png_set_strip_alpha(png);
   if (color_type == PNG_COLOR_TYPE_RGB || color_type == PNG_COLOR_TYPE_RGB_ALPHA ||
       color_type == PNG_COLOR_TYPE_PALETTE) {
     // BT.601 luma to match the reference path (cv2 IMREAD_GRAYSCALE).
@@ -160,6 +163,12 @@ int DecodePngGray(const uint8_t* data, size_t size, uint8_t* out,
   }
   const int passes = png_set_interlace_handling(png);
   png_read_update_info(png, info);
+  if (png_get_rowbytes(png, info) != width) {
+    // Any transform combination that does not land on 1 byte/pixel would
+    // overrun the row stride below — refuse rather than corrupt memory.
+    png_destroy_read_struct(&png, &info, nullptr);
+    return kErrDecode;
+  }
 
   // Row-by-row into the caller's buffer: no heap state is live across the
   // setjmp error path above.

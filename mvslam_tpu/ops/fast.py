@@ -62,7 +62,10 @@ def fast_score_map(image: jnp.ndarray, threshold: float) -> jnp.ndarray:
     half the HBM traffic of the f32 shifted-stack (the score map is
     bandwidth-bound).
     """
-    if jnp.issubdtype(image.dtype, jnp.integer) and float(threshold).is_integer():
+    # The int16 path is exact only for 8-bit sample ranges (|diff| <= 255,
+    # 16-term sums <= 3760); wider integer types (e.g. uint16 IR frames)
+    # would wrap, so they take the float path.
+    if image.dtype in (jnp.uint8, jnp.int8) and float(threshold).is_integer():
         t = jnp.int16(int(threshold))
         img = image.astype(jnp.int16)
     else:

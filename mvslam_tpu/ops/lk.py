@@ -76,16 +76,13 @@ def _bilinear_windows(image: jnp.ndarray, pts: jnp.ndarray, pad: int) -> Tuple[j
         + wy * (1.0 - wx) * t10
         + wy * wx * t11
     )
-    # Bounds: the sampled square [floor-half, floor-half+size+1] must be
-    # inside the image (extract_patches clamps silently otherwise).
+    # Bounds: extract_patches clamps the FULL 32px tile into the image,
+    # so the mask must require the whole tile in bounds — a looser check
+    # on just the sampled square would accept silently shifted windows
+    # for points within ~10-30 px of the right/bottom borders.
     x0 = jnp.floor(pts[:, 0]) - half
     y0 = jnp.floor(pts[:, 1]) - half
-    ok = (
-        (x0 >= 0)
-        & (y0 >= 0)
-        & (x0 + size + 1 <= w)
-        & (y0 + size + 1 <= h)
-    )
+    ok = (x0 >= 0) & (y0 >= 0) & (x0 + _TILE <= w) & (y0 + _TILE <= h)
     return win, ok
 
 

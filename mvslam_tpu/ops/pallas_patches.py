@@ -6,16 +6,16 @@ the slice make no difference, it is pure per-slice dispatch overhead). This
 kernel instead keeps the image in compiler-chosen memory, scalar-prefetches
 the keypoint coordinates, and keeps a ``DEPTH``-deep rolling window of
 async DMA copies in flight, hiding each copy's latency behind the previous
-patch's shift/trim. Measured 0.73 ms for 2048 patches — ~3x over XLA, with
-bit-identical output.
+patch's shift/trim. Measured ~3x over XLA, with bit-identical output.
 
 Mosaic constraints shape the design:
-- DMA slice starts/shapes must be tile-aligned (8 sublanes x 128 lanes) and
-  *provably* so — hence tile indices are passed (y//8, x//128) and
-  multiplied back inside the kernel, and the copy grabs an aligned
-  (40, 256) slab that always covers the 31x31 patch.
-- The sub-tile offset (y%8, x%128) is applied in-register with
-  ``pltpu.roll`` (dynamic rotate), then trimmed to the patch window.
+- DMA slice starts/shapes must be tile-aligned (8 sublanes x 128 lanes for
+  f32) and *provably* so — hence tile indices are passed (y//align,
+  x//128) and multiplied back inside the kernel, and the copy grabs an
+  aligned slab that always covers the 32x32 output tile.
+- The sub-tile offset is applied in-register with ``pltpu.roll`` (dynamic
+  rotate, 32-bit dtypes only), then trimmed to the output window; the
+  output may be narrowed (bf16) in-register.
 - Scalar-prefetch SMEM is ~1 MB; all four per-keypoint fields are packed
   into one int32 (tile_y:12 | tile_x:8 | y_in_tile:4 | x%128:7); sublane
   alignment (and so slab geometry) depends on dtype — 8 rows for f32,
@@ -46,54 +46,6 @@ def _geometry(dtype):
     if dtype == jnp.bfloat16:
         return 16, 48
     return 8, 40
-
-
-def _make_kernel(y_align, slab_h):
-    def _kernel(packed_ref, image_ref, out_ref, slabs, sems):
-        # out_ref may be a narrower dtype than the slab (e.g. bf16 patches
-        # from an f32 image): the rotate runs at 32 bits (Mosaic's dynamic
-        # rotate requirement) and the convert happens in-register on the
-        # 32x32 window, halving the output write.
-        i = pl.program_id(0)
-
-        def get_dma(k):
-            packed = packed_ref[i * _CHUNK + k]
-            ya = (packed >> 19) * y_align  # tile index * align: provably aligned
-            x128 = ((packed >> 11) & 0xFF) * 128
-            return pltpu.make_async_copy(
-                image_ref.at[pl.ds(ya, slab_h), pl.ds(x128, _SLAB_W)],
-                slabs.at[k % _DEPTH],
-                sems.at[k % _DEPTH],
-            )
-
-        def warm(k, _):
-            get_dma(k).start()
-            return _
-
-        jax.lax.fori_loop(0, _DEPTH, warm, None, unroll=True)
-
-        def body(k, _):
-            get_dma(k).wait()
-            packed = packed_ref[i * _CHUNK + k]
-            r = (packed >> 7) & 0xF
-            c = packed & 0x7F
-            slab = slabs[k % _DEPTH]
-            # Non-negative cyclic shifts; rows/cols of interest never wrap
-            # (r < y_align, y_align + 32 <= slab_h; c <= 127, 127 + 32 <= 256).
-            slab = pltpu.roll(slab, (slab_h - r) % slab_h, axis=0)
-            slab = pltpu.roll(slab, (_SLAB_W - c) % _SLAB_W, axis=1)
-            out_ref[k] = slab[:_OUT_H, :_OUT_W].astype(out_ref.dtype)
-
-            # Reuses slot k % DEPTH — must start only after the slab is consumed.
-            @pl.when(k + _DEPTH < _CHUNK)
-            def _():
-                get_dma(k + _DEPTH).start()
-
-            return _
-
-        jax.lax.fori_loop(0, _CHUNK, body, None)
-
-    return _kernel
 
 
 def _pack_starts(image_hw, xy, y_align):
@@ -129,12 +81,13 @@ def extract_patches_pallas(
 
     Exact drop-in for the XLA path in ``ops.brief.extract_patches``
     (including its border clamp semantics). ``interpret=True`` runs the
-    Mosaic interpreter — used by CPU tests. Under ``vmap`` the batched
-    kernel below runs instead (one pallas_call for the whole frame
-    window rather than the per-frame loop vmap lowering would emit).
+    Mosaic interpreter — used by CPU tests. Under ``vmap`` the custom
+    batching rule routes the whole frame window into ONE pallas_call over
+    a (frames, chunks) grid rather than the per-frame device loop vmap
+    lowering would emit.
     """
     if interpret:
-        return _extract_single(image, xy, out_dtype=out_dtype, interpret=True)
+        return _extract_batched(image[None], xy[None], out_dtype=out_dtype, interpret=True)[0]
     if out_dtype is None or out_dtype == image.dtype:
         return _extract_vmappable(image, xy)
     if out_dtype != jnp.bfloat16:
@@ -142,77 +95,45 @@ def extract_patches_pallas(
     return _extract_vmappable_narrow(image, xy)
 
 
-def _extract_single(image, xy, *, out_dtype=None, interpret=False):
-    h, w = image.shape
-    n = xy.shape[0]
-    out_dtype = out_dtype or image.dtype
-    y_align, slab_h = _geometry(image.dtype)
-    padded = _pad_image(image, y_align, slab_h)
-    packed = _pack_starts((h, w), xy, y_align)
-    num_chunks = -(-n // _CHUNK)
-    total = num_chunks * _CHUNK
-    if total != n:
-        # Repeat the last keypoint into the tail slots; trimmed below.
-        packed = jnp.concatenate([packed, jnp.broadcast_to(packed[-1:], (total - n,))])
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(num_chunks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(
-            (_CHUNK, _OUT_H, _OUT_W), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((_DEPTH, slab_h, _SLAB_W), image.dtype),
-            pltpu.SemaphoreType.DMA((_DEPTH,)),
-        ],
-    )
-    out = pl.pallas_call(
-        _make_kernel(y_align, slab_h),
-        out_shape=jax.ShapeDtypeStruct((total, _OUT_H, _OUT_W), out_dtype),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(packed, padded)
-    return out[:n].reshape(n, _OUT_H * _OUT_W)
-
-
-@jax.custom_batching.custom_vmap
-def _extract_vmappable(image, xy):
-    return _extract_single(image, xy)
-
-
-@_extract_vmappable.def_vmap
-def _extract_vmap_rule(axis_size, in_batched, image, xy):
+def _broadcast_unbatched(axis_size, in_batched, image, xy):
     image_batched, xy_batched = in_batched
     if not image_batched:
         image = jnp.broadcast_to(image[None], (axis_size, *image.shape))
     if not xy_batched:
         xy = jnp.broadcast_to(xy[None], (axis_size, *xy.shape))
+    return image, xy
+
+
+@jax.custom_batching.custom_vmap
+def _extract_vmappable(image, xy):
+    return _extract_batched(image[None], xy[None])[0]
+
+
+@_extract_vmappable.def_vmap
+def _extract_vmap_rule(axis_size, in_batched, image, xy):
+    image, xy = _broadcast_unbatched(axis_size, in_batched, image, xy)
     return _extract_batched(image, xy), True
 
 
 @jax.custom_batching.custom_vmap
 def _extract_vmappable_narrow(image, xy):
-    return _extract_single(image, xy, out_dtype=jnp.bfloat16)
+    return _extract_batched(image[None], xy[None], out_dtype=jnp.bfloat16)[0]
 
 
 @_extract_vmappable_narrow.def_vmap
 def _extract_vmap_rule_narrow(axis_size, in_batched, image, xy):
-    image_batched, xy_batched = in_batched
-    if not image_batched:
-        image = jnp.broadcast_to(image[None], (axis_size, *image.shape))
-    if not xy_batched:
-        xy = jnp.broadcast_to(xy[None], (axis_size, *xy.shape))
+    image, xy = _broadcast_unbatched(axis_size, in_batched, image, xy)
     return _extract_batched(image, xy, out_dtype=jnp.bfloat16), True
 
 
-def _extract_batched(image: jnp.ndarray, xy: jnp.ndarray, out_dtype=None) -> jnp.ndarray:
+def _extract_batched(
+    image: jnp.ndarray, xy: jnp.ndarray, out_dtype=None, interpret: bool = False
+) -> jnp.ndarray:
     """(B, N, 1024) patches with ONE pallas_call over a (B, chunks) grid.
 
-    vmap's default pallas lowering wraps the single-frame kernel in a
-    device while-loop with a dynamic-update-slice per frame (profiled at
-    ~0.6 ms/frame — the hottest op in the tracking program); the 2-D grid
-    keeps the same DMA pipeline but lets the frame axis ride the grid.
+    The single-frame path is the B=1 special case of this kernel — one
+    implementation serves both (a previous split version required
+    bit-layout edits in two kernels in lockstep).
     """
     b, h, w = image.shape
     n = xy.shape[1]
@@ -223,19 +144,24 @@ def _extract_batched(image: jnp.ndarray, xy: jnp.ndarray, out_dtype=None) -> jnp
     num_chunks = -(-n // _CHUNK)
     total = num_chunks * _CHUNK
     if total != n:
+        # Repeat the last keypoint into the tail slots; trimmed below.
         packed = jnp.concatenate(
             [packed, jnp.broadcast_to(packed[:, -1:], (b, total - n))], axis=1
         )
     packed = packed.reshape(b * total)
 
     def kernel(packed_ref, image_ref, out_ref, slabs, sems):
+        # out_ref may be a narrower dtype than the slab (e.g. bf16 patches
+        # from an f32 image): the rotate runs at 32 bits (Mosaic's dynamic
+        # rotate requirement) and the convert happens in-register on the
+        # 32x32 window, halving the output write.
         bi = pl.program_id(0)
         i = pl.program_id(1)
         base = (bi * num_chunks + i) * _CHUNK
 
         def get_dma(k):
             p = packed_ref[base + k]
-            ya = (p >> 19) * y_align
+            ya = (p >> 19) * y_align  # tile index * align: provably aligned
             x128 = ((p >> 11) & 0xFF) * 128
             return pltpu.make_async_copy(
                 image_ref.at[bi, pl.ds(ya, slab_h), pl.ds(x128, _SLAB_W)],
@@ -255,10 +181,13 @@ def _extract_batched(image: jnp.ndarray, xy: jnp.ndarray, out_dtype=None) -> jnp
             r = (p >> 7) & 0xF
             c = p & 0x7F
             slab = slabs[k % _DEPTH]
+            # Non-negative cyclic shifts; rows/cols of interest never wrap
+            # (r < y_align, y_align + 32 <= slab_h; c <= 127, 127 + 32 <= 256).
             slab = pltpu.roll(slab, (slab_h - r) % slab_h, axis=0)
             slab = pltpu.roll(slab, (_SLAB_W - c) % _SLAB_W, axis=1)
             out_ref[0, k] = slab[:_OUT_H, :_OUT_W].astype(out_ref.dtype)
 
+            # Reuses slot k % DEPTH — must start only after the slab is consumed.
             @pl.when(k + _DEPTH < _CHUNK)
             def _():
                 get_dma(k + _DEPTH).start()
@@ -285,5 +214,6 @@ def _extract_batched(image: jnp.ndarray, xy: jnp.ndarray, out_dtype=None) -> jnp
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, total, _OUT_H, _OUT_W), out_dtype),
         grid_spec=grid_spec,
+        interpret=interpret,
     )(packed, padded)
     return out[:, :n].reshape(b, n, _OUT_H * _OUT_W)

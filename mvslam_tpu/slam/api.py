@@ -591,6 +591,13 @@ class SLAMSystem:
                             start_index=jnp.asarray(start_id, dtype=jnp.int32),
                         )
                         self._prev_features = jax.tree.map(lambda a, r=real: a[r - 1], feats)
+                if self.config.pose_source == "flow_first":
+                    # Keep the flow path's previous-frame image in sync so a
+                    # later single-frame process_frame doesn't flow against a
+                    # stale frame.
+                    from mvslam_tpu.slam.tracking import frame_to_gray
+
+                    self._prev_gray = frame_to_gray(frames_dev[real - 1])
                 staged = stage() if not exhausted else None
                 new_inflight = (track, chunk_ts, start_id, real)
             if inflight is not None:

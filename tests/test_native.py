@@ -45,6 +45,26 @@ class TestDecode:
         # allow 1 LSB of slack across libpng/cv2 versions.
         assert int(np.abs(out.astype(int) - ref.astype(int)).max()) <= 1
 
+    def test_palette_png_with_transparency(self, tmp_path):
+        """Palette PNG with a tRNS chunk: the tRNS expansion adds an alpha
+        channel that must be stripped (regression: rows were written at
+        2-4 bytes/pixel into a 1 byte/pixel stride)."""
+        from PIL import Image
+
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 255, size=(24, 32), dtype=np.uint8)
+        pal = Image.fromarray(img, "L").convert("P")
+        pal.info["transparency"] = 0  # adds a tRNS chunk on save
+        p = tmp_path / "pal.png"
+        pal.save(p, transparency=0)
+        out = native.decode_gray(p)
+        assert out is not None and out.shape == (24, 32) and out.dtype == np.uint8
+        # The luma of the palette-expanded RGB must match the original gray
+        # (palette entries are gray so BT.601 luma is the identity +-1).
+        assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+
     def test_pgm_roundtrip(self, tmp_path):
         rng = np.random.default_rng(3)
         img = rng.integers(0, 256, size=(33, 47), dtype=np.uint8)

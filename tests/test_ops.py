@@ -424,3 +424,23 @@ class TestLucasKanade:
         assert valid.sum() >= 30
         flow_x = (nxt_pts[valid] - pts[valid])[:, 0]
         assert abs(np.median(flow_x) + sx) < 0.2, np.median(flow_x)
+
+    def test_border_points_rejected_not_shifted(self):
+        """Points whose 32px tile would be clamped by the extractor must be
+        flagged invalid (regression: they used to pass the bounds check
+        with a silently shifted window)."""
+        from mvslam_tpu.ops.lk import LKConfig, lk_track
+
+        img = self._textured()
+        h, w = img.shape
+        pts = np.array(
+            [[w - 15.0, h / 2], [w / 2, h - 14.0], [w / 2, h / 2]], dtype=np.float32
+        )
+        mask = np.ones(3, dtype=bool)
+        _, _, valid = lk_track(
+            jnp.asarray(img), jnp.asarray(img), jnp.asarray(pts), jnp.asarray(mask),
+            LKConfig(num_levels=1, iterations=2),
+        )
+        valid = np.asarray(valid)
+        assert not valid[0] and not valid[1]  # tile would be clamped
+        assert valid[2]  # interior point unaffected
