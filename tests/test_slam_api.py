@@ -300,3 +300,25 @@ class TestFlowFirstTracking:
         diags = system.run_sequence(frames, window=1)
         assert len(diags) == 4
         assert not diags[2].pose_success  # blank frame cannot produce a pose
+
+
+class TestSuperwindowRelocalization:
+    def test_injected_loss_inside_superwindow_dispatch(self, tmp_path):
+        """Relocalization must work when the failing frame arrives via a
+        superwindow dispatch (the feature provider reshapes (S, window)
+        leaves to per-frame)."""
+        cfg = small_config(
+            tmp_path,
+            enable_relocalization=True,
+            keyframe=KeyframeConfig(min_translation=0.01),
+            relocalization_min_inliers=15,
+        )
+        system = SLAMSystem(cfg)
+        frames = make_sequence(num_frames=9, seed=41)
+        system.inject_tracking_loss(5)
+        diags = system.run_sequence(frames, window=2, windows_per_dispatch=2)
+        assert len(diags) == 9
+        assert diags[5].injected_loss and not diags[5].pose_success
+        assert diags[5].relocalized
+        # Frames after the loss keep tracking.
+        assert any(d.pose_success for d in diags[6:])
