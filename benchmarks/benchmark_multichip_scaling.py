@@ -1,12 +1,17 @@
 """Multi-chip scaling of the tracking front-end over a device mesh.
 
-Runs the data-parallel pair tracker (``parallel.batched_track_pairs``) and
-the hypothesis-sharded RANSAC (``parallel.sharded_ransac_essential``) on
-1/2/4/8-device meshes and reports throughput per mesh size. On a machine
-without real chips, set ``XLA_FLAGS=--xla_force_host_platform_device_count=8``
-and ``JAX_PLATFORMS=cpu`` (the test conftest does the same) — the point of
-the CPU run is validating that the sharded programs compile and scale, not
-absolute speed.
+Runs the data-parallel pair tracker (``parallel.batched_track_pairs``),
+the hypothesis-sharded RANSAC (``parallel.sharded_ransac_essential``),
+the meshed superwindow throughput path
+(``parallel.track_superwindow_meshed``) and the edge-sharded pose-graph
+Gauss-Newton (``parallel.solve_problem_sharded``) on 1/2/4/8-device meshes
+and reports throughput per mesh size. On a machine without real chips, set
+``XLA_FLAGS=--xla_force_host_platform_device_count=8`` and
+``JAX_PLATFORMS=cpu`` (the test conftest does the same) — the point of the
+CPU run is validating that the sharded programs compile and execute; on a
+single-core host the virtual devices SERIALIZE, so wall-clock does not
+improve with mesh size here (per-device work does: e.g. the sharded RANSAC
+scores K/n hypotheses per device). Real scaling needs real chips over ICI.
 
 Parity: the reference scales feature extraction with thread/process pools
 (``feature_control_plane.py:283-319``); the TPU design scales over ICI via
@@ -36,7 +41,14 @@ def _frames(batch: int, h: int = 192, w: int = 320, shift: int = 5):
 
 
 def main(batch: int = 8) -> None:
+    import os
+
     import jax
+
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        # The axon TPU plugin ignores the env var; the config flag is
+        # authoritative (read at backend init — must run before first use).
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from mvslam_tpu.frontend.feature_pipeline import FeaturePipelineConfig
@@ -99,6 +111,64 @@ def main(batch: int = 8) -> None:
             "hypotheses/s",
             mesh_devices=n,
             num_inliers=int(res.num_inliers),
+        )
+
+    # Meshed superwindow: the run_sequence throughput path, frames-DP.
+    from mvslam_tpu.parallel.mesh import track_superwindow_meshed
+    from mvslam_tpu.slam.tracking import bootstrap_frame
+
+    prev1, nxt1 = _frames(1)
+    prev_feats = bootstrap_frame(jnp.asarray(prev1[0]), fc)
+    for n in sizes:
+        mesh = make_mesh(n)
+        window = 16
+        frames_seq = jnp.asarray(
+            np.stack([np.roll(prev1[0], 2 * (i + 1), axis=1) for i in range(window)])
+        )
+        args = (jax.random.key(5), prev_feats, frames_seq, K, fc, pc)
+        last, tr = track_superwindow_meshed(mesh, *args, window=window)
+        jax.block_until_ready(tr.scalars_packed)
+        start = time.perf_counter()
+        last, tr = track_superwindow_meshed(mesh, *args, window=window)
+        jax.block_until_ready(tr.scalars_packed)
+        elapsed = time.perf_counter() - start
+        emit(
+            f"meshed_superwindow_mesh{n}",
+            window / max(elapsed, 1e-12),
+            "frames/s",
+            mesh_devices=n,
+            window=window,
+        )
+
+    # Edge-sharded pose-graph Gauss-Newton.
+    from mvslam_tpu.backend.pose_graph import PoseGraph3D
+    from mvslam_tpu.backend.solvers import SolverConfig
+    from mvslam_tpu.parallel.mesh import solve_problem_sharded
+
+    graph = PoseGraph3D()
+    rng = np.random.default_rng(7)
+    for i in range(253):
+        graph.add_pose(
+            np.array([1.0, rng.normal(0, 0.05), 0.0, 0.0, 0.0, rng.normal(0, 0.02)])
+        )
+    # Noisy loop edges make the residual non-trivial (odometry chains are
+    # self-consistent at x0 by construction).
+    for i, j in ((0, 60), (50, 140), (120, 250)):
+        graph.add_loop(i, j, np.array([float(j - i), 0.5, 0.0, 0.0, 0.0, 0.0]))
+    problem = graph._build_graph().build_problem()  # 256 factors
+    for n in sizes:
+        mesh = make_mesh(n)
+        cfg_s = SolverConfig(max_iterations=10)
+        solve_problem_sharded(mesh, problem, cfg_s)  # warm
+        start = time.perf_counter()
+        res = solve_problem_sharded(mesh, problem, cfg_s)
+        elapsed = time.perf_counter() - start
+        emit(
+            f"sharded_pose_graph_gn_mesh{n}",
+            problem.num_factors * cfg_s.max_iterations / max(elapsed, 1e-12),
+            "factor_linearizations/s",
+            mesh_devices=n,
+            final_cost=round(float(res.final_cost), 6),
         )
 
 

@@ -68,6 +68,7 @@ def _ransac(
     scorer,
     sample_size: int,
     threshold=None,
+    hypothesis_sharding=None,
 ) -> RansacResult:
     # ``threshold`` may be a traced value (adaptive thresholds); falls back
     # to the static config threshold.
@@ -76,12 +77,23 @@ def _ransac(
     thresh_sq = jnp.square(jnp.asarray(threshold, dtype=pts1.dtype))
     num_valid = jnp.sum(mask)
 
+    # The hypothesis set is sampled from the global key regardless of any
+    # sharding, so a meshed run and a single-chip run draw IDENTICAL
+    # hypotheses (mesh-invariant determinism). Only the K-wise solve +
+    # K×N scoring below is sharded (the dominant cost); XLA's SPMD
+    # partitioner splits it across chips and the argmax travels over ICI.
     idx = _sample_indices(key, mask, config.num_hypotheses, sample_size)  # (K, S)
+    if hypothesis_sharding is not None:
+        idx = jax.lax.with_sharding_constraint(idx, hypothesis_sharding)
     s1 = pts1[idx]  # (K, S, 2)
     s2 = pts2[idx]
     models = solver(s1, s2, None)  # batched: (K, 3, 3)
+    if hypothesis_sharding is not None:
+        models = jax.lax.with_sharding_constraint(models, hypothesis_sharding)
 
     err = scorer(models, pts1[None], pts2[None])  # (K, N)
+    if hypothesis_sharding is not None:
+        err = jax.lax.with_sharding_constraint(err, hypothesis_sharding)
     inl = (err < thresh_sq) & mask[None, :]
     counts = jnp.sum(inl, axis=1)
     best = jnp.argmax(counts)
@@ -105,7 +117,7 @@ def _ransac(
     return RansacResult(model, inliers, count.astype(jnp.int32), ratio.astype(jnp.float32), success)
 
 
-@partial(jax.jit, static_argnames=("config",))
+@partial(jax.jit, static_argnames=("config", "hypothesis_sharding"))
 def ransac_essential(
     key,
     pts1: jnp.ndarray,
@@ -113,13 +125,16 @@ def ransac_essential(
     mask: jnp.ndarray,
     config: RansacConfig = RansacConfig(threshold=2e-3),
     threshold=None,
+    hypothesis_sharding=None,
 ) -> RansacResult:
     """Essential-matrix RANSAC over normalised correspondences.
 
     ``threshold`` optionally overrides the static config threshold with a
     traced value (adaptive thresholds stay on-device). Parity:
     ``homography.py:302-345`` (Sampson-scored essential RANSAC) with
-    hypothesis batching instead of iteration.
+    hypothesis batching instead of iteration. ``hypothesis_sharding``
+    (a ``NamedSharding`` over the hypothesis axis) shards solve+scoring
+    across a mesh without changing any result bit.
     """
     return _ransac(
         key, pts1, pts2, mask, config,
@@ -127,10 +142,11 @@ def ransac_essential(
         scorer=sampson_error,
         sample_size=8,
         threshold=threshold,
+        hypothesis_sharding=hypothesis_sharding,
     )
 
 
-@partial(jax.jit, static_argnames=("config",))
+@partial(jax.jit, static_argnames=("config", "hypothesis_sharding"))
 def ransac_homography(
     key,
     pts1: jnp.ndarray,
@@ -138,6 +154,7 @@ def ransac_homography(
     mask: jnp.ndarray,
     config: RansacConfig = RansacConfig(threshold=3.0),
     threshold=None,
+    hypothesis_sharding=None,
 ) -> RansacResult:
     """Homography RANSAC scored by symmetric transfer error.
 
@@ -149,6 +166,7 @@ def ransac_homography(
         scorer=symmetric_transfer_error,
         sample_size=4,
         threshold=threshold,
+        hypothesis_sharding=hypothesis_sharding,
     )
 
 

@@ -4,6 +4,14 @@ from mvslam_tpu.parallel.mesh import (
     make_mesh,
     batched_track_pairs,
     sharded_ransac_essential,
+    solve_problem_sharded,
+    track_superwindow_meshed,
 )
 
-__all__ = ["make_mesh", "batched_track_pairs", "sharded_ransac_essential"]
+__all__ = [
+    "make_mesh",
+    "batched_track_pairs",
+    "sharded_ransac_essential",
+    "solve_problem_sharded",
+    "track_superwindow_meshed",
+]

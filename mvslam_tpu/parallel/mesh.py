@@ -35,8 +35,7 @@ from mvslam_tpu.frontend.pose_estimator import (
     RobustPoseEstimatorConfig,
     estimate_pose_device,
 )
-from mvslam_tpu.geometry.epipolar import eight_point_essential, sampson_error
-from mvslam_tpu.ops.ransac import RansacConfig, RansacResult, _sample_indices
+from mvslam_tpu.ops.ransac import RansacConfig, RansacResult, ransac_essential
 from mvslam_tpu.slam.tracking import TrackResult, track_frame, bootstrap_frame
 
 
@@ -91,75 +90,118 @@ def sharded_ransac_essential(
     mask: jnp.ndarray,
     config: RansacConfig = RansacConfig(threshold=2e-3),
 ) -> RansacResult:
-    """Essential-matrix RANSAC with the hypothesis batch sharded over ICI.
+    """Essential-matrix RANSAC with hypothesis solve+scoring sharded over ICI.
 
-    Each device draws and scores ``K / n_devices`` hypotheses against the
-    replicated correspondences; the best-per-device (count, model) pairs
-    are all-gathered (tiny) and the global winner is refit on all devices
-    redundantly (cheaper than a broadcast round-trip).
+    **Mesh-invariant determinism**: the K-hypothesis set is drawn from the
+    single global ``key`` exactly as in the unsharded
+    :func:`~mvslam_tpu.ops.ransac.ransac_essential`, then *only the
+    per-hypothesis solve and K×N scoring* (the dominant cost) is sharded
+    via sharding constraints on the hypothesis axis — the SPMD partitioner
+    gives each chip a hypothesis slice against replicated correspondences
+    and combines the winner argmax over ICI. Because the meshed call runs
+    the SAME jaxpr as the single-device path (only input shardings differ),
+    the returned model/inliers are **bit-identical on any mesh size** —
+    asserted by ``tests/test_parallel.py``.
     """
     axis = mesh.axis_names[0]
     n_dev = mesh.size
     if config.num_hypotheses % n_dev:
         raise ValueError(f"num_hypotheses ({config.num_hypotheses}) must divide by mesh size {n_dev}")
-    per_dev = config.num_hypotheses // n_dev
-    thresh_sq = jnp.asarray(config.threshold**2, dtype=pts1.dtype)
+    hyp_sharding = NamedSharding(mesh, P(axis))
+    replicated = NamedSharding(mesh, P())
+    pts1 = jax.device_put(pts1, replicated)
+    pts2 = jax.device_put(pts2, replicated)
+    mask = jax.device_put(mask, replicated)
+    key = jax.device_put(key, replicated)
+    return ransac_essential(key, pts1, pts2, mask, config, hypothesis_sharding=hyp_sharding)
 
-    def shard_fn(keys, p1, p2, m):
-        # keys: (1,) per-device key; p1/p2/m replicated.
-        my_key = keys[0]
-        idx = _sample_indices(my_key, m[0], per_dev, 8)
-        models = eight_point_essential(p1[0][idx], p2[0][idx])
-        err = sampson_error(models, p1, p2)  # (per_dev, N)
-        inl = (err < thresh_sq) & m
-        counts = jnp.sum(inl, axis=1)
-        best = jnp.argmax(counts)
-        # Tiny all_gather: (n_dev,) counts + (n_dev, 3, 3) models over ICI.
-        all_counts = jax.lax.all_gather(counts[best], axis)
-        all_models = jax.lax.all_gather(models[best], axis)
-        winner = jnp.argmax(all_counts)
-        model = all_models[winner]
-        # Redundant per-device refit of the winner (deterministic, no bcast).
-        inliers = (sampson_error(model[None], p1, p2)[0] < thresh_sq) & m[0]
-        for _ in range(config.refit_rounds):
-            w = inliers.astype(p1.dtype)
-            enough = jnp.sum(w) >= 8
-            refit = eight_point_essential(p1[0], p2[0], w)
-            model = jnp.where(enough, refit, model)
-            inliers = (sampson_error(model[None], p1, p2)[0] < thresh_sq) & m[0]
-        count = jnp.sum(inliers)
-        num_valid = jnp.sum(m[0])
-        ratio = count / jnp.maximum(num_valid, 1)
-        success = (count >= config.min_inliers) & (num_valid >= 8)
-        return RansacResult(
-            model[None],
-            inliers[None],
-            count.astype(jnp.int32)[None],
-            ratio.astype(jnp.float32)[None],
-            success[None],
-        )
 
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
+def track_superwindow_meshed(
+    mesh: Mesh,
+    key,
+    prev_features: FeatureSet,
+    frames: jnp.ndarray,  # (S*window, H, W)
+    K: jnp.ndarray,
+    feature_config: FeaturePipelineConfig,
+    pose_config: RobustPoseEstimatorConfig,
+    window: int = 16,
+    start_index=0,
+):
+    """The throughput path (``track_superwindow``) data-parallel over a mesh.
 
-    keys = jax.random.split(key, n_dev)
-    kwargs = dict(
-        mesh=mesh,
-        in_specs=(P(axis), P(), P(), P()),
-        out_specs=RansacResult(P(axis), P(axis), P(axis), P(axis), P(axis)),
+    Each window's frame axis is sharded across the mesh: every chip detects
+    features for its contiguous slice of the window, and the one-frame pair
+    shift (``concat([prev, feats[:-1]])`` inside ``track_window``) becomes
+    the carry handoff — XLA lowers it to a boundary collective-permute over
+    ICI (one FeatureSet, ~100 KB, per chip per window). The scan carry
+    (last frame's features) reshards automatically between windows.
+
+    Determinism contract: runs the SAME jaxpr as the single-chip
+    superwindow (``slam.tracking.track_superwindow_chunked``) — per-pair
+    RNG keys fold global frame ids, not device ids, so the hypothesis sets
+    and all matching outputs (detection, Hamming matches, inlier sets) are
+    bit-identical to the 1-chip run on any mesh size. Pose *values* match
+    to float tolerance rather than bit-for-bit: the per-device pair batch
+    is B/n, and XLA legally reassociates the weighted-refit accumulation
+    (AᵀA over match rows) at different batch shapes. For a FIXED mesh the
+    run is bit-reproducible. Parity note: this replaces the reference's
+    thread/process-pool data parallelism (``feature_control_plane.py:283-319``)
+    with frames-DP over ICI (SURVEY §2.5 mapping).
+    """
+    from mvslam_tpu.slam.tracking import track_superwindow_chunked
+
+    axis = mesh.axis_names[0]
+    if window % mesh.size:
+        raise ValueError(f"window ({window}) must divide by mesh size {mesh.size}")
+    if frames.shape[0] % window:
+        raise ValueError("frames length must be a multiple of window")
+    num_windows = frames.shape[0] // window
+    chunks = jnp.reshape(frames, (num_windows, window, *frames.shape[1:]))
+    # Shard the WINDOW axis (dim 1); the scan runs over dim 0.
+    chunks = jax.device_put(chunks, NamedSharding(mesh, P(None, axis)))
+    replicated = NamedSharding(mesh, P())
+    prev_features = jax.device_put(prev_features, replicated)
+    K = jax.device_put(K, replicated)
+    starts = jnp.asarray(start_index, jnp.int32) + window * jnp.arange(
+        num_windows, dtype=jnp.int32
     )
-    try:
-        # The linear-algebra internals (eigh/svd while-loops) confuse the
-        # varying-manual-axes checker; disable it (new and old kwarg names).
-        fn = shard_map(shard_fn, check_vma=False, **kwargs)
-    except TypeError:
-        fn = shard_map(shard_fn, check_rep=False, **kwargs)
-    # Replicated inputs carry a leading singleton "replica view" dim inside
-    # shard_map when specs are P() — pass 2-D views.
-    res = fn(keys, pts1[None], pts2[None], mask[None])
-    # All shards computed identical results; take shard 0.
-    return RansacResult(
-        res.model[0], res.inliers[0], res.num_inliers[0], res.inlier_ratio[0], res.success[0]
+    return track_superwindow_chunked(
+        key, prev_features, chunks, K, feature_config, pose_config, starts
     )
+
+
+def solve_problem_sharded(mesh: Mesh, problem, config=None):
+    """Pose-graph Gauss-Newton with the factor (edge) axis sharded over ICI.
+
+    The hot part of each GN iteration — linearizing every factor (vmapped
+    autodiff Jacobians) and accumulating the normal equations — is
+    data-parallel over factors: each chip linearizes its edge shard and the
+    ``segment_sum``/scatter accumulation of JᵀJ and Jᵀr becomes a ``psum``
+    over ICI inserted by the SPMD partitioner. The (small) n·d × n·d solve
+    runs replicated. Same jaxpr as the single-device
+    ``backend.solvers.solve_problem`` (ref contract:
+    ``graph_optimization.py:560-654``); only input shardings differ.
+
+    Note: cross-chip float accumulation may reorder sums, so results match
+    the single-chip solve to float tolerance (asserted in tests), and are
+    run-to-run deterministic for a fixed mesh.
+    """
+    from mvslam_tpu.backend.solvers import SolverConfig, solve_problem
+
+    config = config or SolverConfig()
+    n_dev = mesh.size
+    if problem.num_factors == 0 or problem.num_factors % n_dev:
+        # Uneven factor counts: fall back to the replicated solve rather
+        # than pad (factor weights of 0 would still shift segment ids).
+        return solve_problem(problem, config)
+    axis = mesh.axis_names[0]
+    edge_sharding = NamedSharding(mesh, P(axis))
+    replicated = NamedSharding(mesh, P())
+    sharded_problem = problem._replace(
+        edges=jax.device_put(problem.edges, edge_sharding),
+        measurements=jax.device_put(problem.measurements, edge_sharding),
+        weights=jax.device_put(problem.weights, edge_sharding),
+        x0=jax.device_put(jnp.asarray(problem.x0), replicated),
+        anchor_mask=jax.device_put(jnp.asarray(problem.anchor_mask), replicated),
+    )
+    return solve_problem(sharded_problem, config)

@@ -278,6 +278,28 @@ def track_superwindow(
     num_windows = frames.shape[0] // window
     chunks = frames.reshape(num_windows, window, *frames.shape[1:])
     starts = start_index + window * jnp.arange(num_windows, dtype=jnp.int32)
+    return track_superwindow_chunked(
+        key, prev_features, chunks, K, feature_config, pose_config, starts
+    )
+
+
+@partial(jax.jit, static_argnames=("feature_config", "pose_config"))
+def track_superwindow_chunked(
+    key,
+    prev_features: FeatureSet,
+    chunks: jnp.ndarray,  # (S, window, H, W) pre-chunked windows
+    K: jnp.ndarray,
+    feature_config: FeaturePipelineConfig,
+    pose_config: RobustPoseEstimatorConfig,
+    starts: jnp.ndarray,  # (S,) global frame id of each window's first frame
+) -> Tuple[FeatureSet, TrackResult]:
+    """The scan core of :func:`track_superwindow` over pre-chunked windows.
+
+    Exposed separately so the meshed variant
+    (``parallel.mesh.track_superwindow_meshed``) can feed chunks whose
+    *window axis is sharded across a device mesh* — same jaxpr, so the
+    meshed run is bit-identical to the single-chip run by construction.
+    """
 
     def body(prev: FeatureSet, xs):
         chunk, start = xs
