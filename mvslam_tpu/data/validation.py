@@ -96,6 +96,98 @@ def validate_kitti(root: Path, sequence: str = "00", camera: int = 0) -> Validat
     return result
 
 
+def validate_kitti_multi_camera(
+    root: Path,
+    sequence: str = "00",
+    cameras: tuple = (0, 1),
+    sync_tolerance_s: float = 0.002,
+) -> ValidationResult:
+    """Multi-camera layout + calibration + cross-camera sync validation.
+
+    Parity: ``dataset_validation.py:188-290`` — per-camera image checks,
+    rig calibration validation (baselines, SO(3), intrinsics), and a
+    timestamp synchronization dry run whose report (matched/dropped
+    counts, worst offset) lands in ``stats["sync_report"]``.
+    """
+    cameras = tuple(int(c) for c in cameras)
+    result = ValidationResult(
+        dataset=f"kitti_multi:{sequence}:{','.join(map(str, cameras))}", ok=True
+    )
+    root = Path(root)
+    if not root.exists():
+        result.ok = False
+        result.errors.append(f"KITTI root does not exist: {root}")
+        return result
+    seq_dirs = [root / "sequences" / sequence, root / sequence, root]
+    seq_dir = next(
+        (d for d in seq_dirs if any((d / f"image_{c}").exists() for c in cameras)), None
+    )
+    if seq_dir is None:
+        result.ok = False
+        result.errors.append(f"sequence '{sequence}' not found under {root}")
+        return result
+    result.stats["sequence_path"] = str(seq_dir)
+    result.stats["cameras"] = list(cameras)
+    result.stats["sync_tolerance_s"] = sync_tolerance_s
+
+    for camera in cameras:
+        image_dir = seq_dir / f"image_{camera}"
+        if not image_dir.exists():
+            result.ok = False
+            result.errors.append(f"no image_{camera} directory in {seq_dir}")
+            continue
+        images = sorted(image_dir.glob("*.png")) + sorted(image_dir.glob("*.jpg"))
+        result.stats[f"camera_{camera}_num_images"] = len(images)
+        if not images:
+            result.ok = False
+            result.errors.append(f"no images in {image_dir}")
+
+    calib_path = seq_dir / "calib.txt"
+    if not calib_path.exists():
+        result.warnings.append("missing calib.txt (rig validation skipped)")
+    else:
+        calib = parse_kitti_calib_file(calib_path)
+        missing = [c for c in cameras if f"P{c}" not in calib]
+        if missing:
+            result.ok = False
+            result.errors.extend(f"calib.txt missing P{c}" for c in missing)
+        else:
+            try:
+                rig = CameraRig.from_kitti_calibration(calib)
+                report = rig.validate()
+                result.stats["calibration"] = report.to_dict()
+                if not report.ok:
+                    result.ok = False
+                    result.errors.extend(
+                        f"calibration: {i.message}"
+                        for i in report.issues
+                        if i.severity == "error"
+                    )
+            except ValueError as exc:
+                result.ok = False
+                result.errors.append(f"calibration: {exc}")
+
+    if result.ok:
+        try:
+            from mvslam_tpu.data.kitti import MultiCameraKittiSequence
+
+            multi = MultiCameraKittiSequence(root, sequence, cameras=cameras)
+            matched, sync_report = multi.synchronize(tolerance_s=sync_tolerance_s)
+            result.stats["sync_report"] = sync_report.to_dict()
+            if not matched:
+                result.ok = False
+                result.errors.append("no synchronized frame tuples across cameras")
+            elif sync_report.dropped_primary:
+                result.warnings.append(
+                    f"{sync_report.dropped_primary} primary frames had no partner "
+                    f"within {sync_tolerance_s}s"
+                )
+        except Exception as exc:
+            result.ok = False
+            result.errors.append(f"multi-camera sync failed: {exc}")
+    return result
+
+
 def validate_tum(root: Path) -> ValidationResult:
     """TUM RGB-D layout: rgb/ + groundtruth.txt. Parity: ``dataset_validation.py:293-332``."""
     result = ValidationResult(dataset="tum", ok=True)
@@ -119,14 +211,30 @@ def validate_tum(root: Path) -> ValidationResult:
 def main(argv: Optional[List[str]] = None) -> int:
     parser = argparse.ArgumentParser(description="Validate SLAM dataset layouts")
     parser.add_argument("root", type=Path)
-    parser.add_argument("--format", choices=["kitti", "tum"], default="kitti")
+    parser.add_argument(
+        "--format", choices=["kitti", "kitti_multi", "tum"], default="kitti"
+    )
     parser.add_argument("--sequence", default="00")
     parser.add_argument("--camera", type=int, default=0)
+    parser.add_argument(
+        "--cameras",
+        default="0,1",
+        help="comma-separated camera ids for --format kitti_multi",
+    )
+    parser.add_argument(
+        "--sync-tolerance-s", type=float, default=0.002,
+        help="cross-camera timestamp tolerance for --format kitti_multi",
+    )
     parser.add_argument("--json", action="store_true", help="emit JSON report")
     parser.add_argument("--strict", action="store_true", help="exit 1 on warnings too")
     args = parser.parse_args(argv)
     if args.format == "kitti":
         result = validate_kitti(args.root, args.sequence, args.camera)
+    elif args.format == "kitti_multi":
+        cameras = tuple(int(c) for c in args.cameras.split(",") if c != "")
+        result = validate_kitti_multi_camera(
+            args.root, args.sequence, cameras, args.sync_tolerance_s
+        )
     else:
         result = validate_tum(args.root)
     if args.json:

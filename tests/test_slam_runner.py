@@ -11,7 +11,12 @@ import numpy as np
 import pytest
 
 from mvslam_tpu.data.kitti import KittiSequence, load_ground_truth_poses, parse_kitti_calib_file
-from mvslam_tpu.data.validation import validate_kitti, validate_tum
+from mvslam_tpu.data.validation import (
+    main as validation_main,
+    validate_kitti,
+    validate_kitti_multi_camera,
+    validate_tum,
+)
 from mvslam_tpu.slam.runner import load_pipeline_config, run_kitti_sequence
 
 
@@ -100,6 +105,36 @@ class TestValidation:
         (fake_kitti / "sequences" / "00" / "times.txt").write_text("0.0\n")
         result = validate_kitti(fake_kitti, "00")
         assert not result.ok
+
+    def test_multi_camera_passes(self, fake_kitti):
+        import shutil
+
+        seq_dir = fake_kitti / "sequences" / "00"
+        shutil.copytree(seq_dir / "image_0", seq_dir / "image_1")
+        result = validate_kitti_multi_camera(fake_kitti, "00", (0, 1))
+        assert result.ok, result.errors
+        assert result.stats["camera_0_num_images"] == 5
+        assert result.stats["camera_1_num_images"] == 5
+        assert result.stats["sync_report"]["matched"] == 5
+        assert result.stats["sync_report"]["dropped_primary"] == 0
+        assert result.stats["calibration"]["ok"]
+
+    def test_multi_camera_missing_camera_fails(self, fake_kitti):
+        result = validate_kitti_multi_camera(fake_kitti, "00", (0, 1))
+        assert not result.ok
+        assert any("image_1" in e for e in result.errors)
+
+    def test_multi_camera_cli(self, fake_kitti, capsys):
+        import shutil
+
+        seq_dir = fake_kitti / "sequences" / "00"
+        shutil.copytree(seq_dir / "image_0", seq_dir / "image_1")
+        rc = validation_main(
+            [str(fake_kitti), "--format", "kitti_multi", "--cameras", "0,1", "--json"]
+        )
+        assert rc == 0
+        report = json.loads(capsys.readouterr().out)
+        assert report["ok"] and report["stats"]["sync_report"]["matched"] == 5
 
     def test_tum_layout(self, tmp_path):
         (tmp_path / "rgb").mkdir()
