@@ -30,8 +30,10 @@ import numpy as np
 from mvslam_tpu.geometry.epipolar import (
     decompose_essential,
     decompose_homography,
+    sampson_error,
     triangulate_normalized,
 )
+from mvslam_tpu.geometry.linalg import inv3x3
 from mvslam_tpu.geometry.projection import normalize_pixels
 from mvslam_tpu.ops.ransac import (
     RansacConfig,
@@ -61,6 +63,15 @@ class RobustPoseEstimatorConfig:
     min_displacement_px: float = 0.75  # median inlier flow below this = stationary
     essential_bias: float = 1.0
     homography_bias: float = 0.85
+    # Model selection by support share S_H/(S_H+S_E): below
+    # `homography_selection_share` the scene is decisively 3-D (strong
+    # parallax, H only explains one depth band) and E wins outright; above
+    # `homography_force_share` E is degenerate/unsupported and H wins
+    # outright; in the ambiguous low-parallax band between them the
+    # parallax-weighted scores break the tie (where H on the dominant
+    # plane is often the more accurate model).
+    homography_selection_share: float = 0.42
+    homography_force_share: float = 0.52
     refit_rounds: int = 2
 
     def __post_init__(self):
@@ -114,6 +125,7 @@ class DevicePoseResult(NamedTuple):
     inliers: jnp.ndarray  # (N,) bool
     num_valid_matches: jnp.ndarray  # () int32
     median_displacement_px: jnp.ndarray  # () float32 — zero-motion detector
+    homography_share: jnp.ndarray  # () float32 — S_H/(S_H+S_E) selection ratio
 
 
 def _parallax_and_cheirality(R, t, pts1, pts2, inliers):
@@ -193,7 +205,65 @@ def estimate_pose_device(
         config.homography_bias * res_h.inlier_ratio * jnp.maximum(par_h, min_par),
         0.0,
     )
-    use_e = score_e >= score_h
+    # Selection: support-count share S_H/(S_H+S_E) classifies the scene
+    # regime. Both models are scored on ALL valid matches with two support
+    # votes per match under the same χ² 95% pixel cutoff: E via Sampson
+    # distance (counted twice), H via forward/backward transfer distances.
+    # Planar scenes saturate both models (share ≈ 0.5); strong-parallax
+    # 3-D scenes cap H at its dominant depth band (share « 0.5); a
+    # degenerate E collapses its own support (share → 1). In the ambiguous
+    # low-parallax band the parallax-weighted scores above decide, which
+    # preserves the reference's behavior at
+    # ``robust_pose_estimator.py:168-207`` exactly where it is accurate.
+    # σ tied to the configured essential RANSAC threshold so the 1-dof 95%
+    # cutoff (1.96σ) coincides with the E inlier definition.
+    sigma_sq = (e_thresh_px / 1.96) ** 2
+    # E support uses the Sampson distance (same metric as its RANSAC
+    # inliers), counted twice so its ceiling matches H's two transfer
+    # votes. Per-direction point-to-line distances are NOT robust here:
+    # with the epipole inside the image (forward motion) they diverge for
+    # points near it even for a perfect E.
+    d2_e = sampson_error(res_e.model, n1, n2) * fx * fx
+
+    H_inv = inv3x3(res_h.model)
+
+    def _transfer_sq(M, src, dst):
+        y = jnp.concatenate([src, jnp.ones_like(src[..., :1])], axis=-1) @ M.T
+        w = jnp.where(jnp.abs(y[..., 2:3]) < 1e-12, 1e-12, y[..., 2:3])
+        d = y[..., :2] / w - dst
+        return jnp.sum(d * d, axis=-1)
+
+    d2_h_fwd = _transfer_sq(res_h.model, n1, n2) * fx * fx
+    d2_h_bwd = _transfer_sq(H_inv, n2, n1) * fx * fx
+
+    def _rho(d2, cutoff):
+        return jnp.sum((mask & (d2 < cutoff)).astype(jnp.float32))
+
+    s_e = 2.0 * _rho(d2_e, 3.84 * sigma_sq)
+    s_h = _rho(d2_h_fwd, 3.84 * sigma_sq) + _rho(d2_h_bwd, 3.84 * sigma_sq)
+    h_share = s_h / jnp.maximum(s_h + s_e, 1e-9)
+    prefer_h = (h_share > config.homography_force_share) | (
+        (h_share >= config.homography_selection_share) & (score_h > score_e)
+    )
+    # Gate-aware health: a model whose decomposition would trip the
+    # cheirality/parallax stability gates must not win selection while the
+    # other model would pass them — picking the doomed model turns a
+    # recoverable frame into a tracking loss.
+    healthy_e = (
+        res_e.success
+        & (che_e >= config.min_cheirality_ratio)
+        & (par_e >= min_par)
+    )
+    healthy_h = (
+        res_h.success
+        & (che_h >= config.min_cheirality_ratio)
+        & (par_h >= min_par)
+    )
+    use_e = jnp.where(
+        healthy_e & healthy_h,
+        ~prefer_h,
+        jnp.where(healthy_e | healthy_h, healthy_e, res_e.success),
+    )
 
     R = jnp.where(use_e, R_e, R_h)
     t = jnp.where(use_e, t_e, t_h)
@@ -217,6 +287,7 @@ def estimate_pose_device(
         inliers=jnp.where(use_e, res_e.inliers, res_h.inliers),
         num_valid_matches=jnp.sum(mask).astype(jnp.int32),
         median_displacement_px=median_disp.astype(jnp.float32),
+        homography_share=h_share.astype(jnp.float32),
     )
 
 

@@ -128,16 +128,15 @@ def _load_frames(config: SLAMRunConfig):
     raise ValueError(f"unknown input kind {config.input_kind!r}")
 
 
-def _verify_loop(system, kf_a, kf_b, config: SLAMRunConfig):
-    """Geometric loop verification: match + essential RANSAC between two
-    keyframes; returns (T_a_b relative SE3, inliers, ratio) or None.
+def _match_pair_essential(system, kf_a, kf_b, min_inliers: int, salt: int):
+    """Match two keyframes and fit an essential model.
 
-    Parity: ``visual_slam_offline_entry_point.py:557-648``.
+    Returns ``(sel, ransac, n1, n2)`` (device arrays, normalised coords)
+    or None when matching/RANSAC fails.
     """
     import jax
     import jax.numpy as jnp
 
-    from mvslam_tpu.geometry.epipolar import decompose_essential
     from mvslam_tpu.geometry.projection import normalize_pixels
     from mvslam_tpu.ops.hamming import (
         MatchConfig,
@@ -154,7 +153,7 @@ def _verify_loop(system, kf_a, kf_b, config: SLAMRunConfig):
         MatchConfig(cross_check=True),
     )
     sel = select_matches(res, max_matches=256)
-    if int(sel.num_valid) < config.loop_min_inliers:
+    if int(sel.num_valid) < min_inliers:
         return None
     p1, p2 = gather_matched_points(
         jnp.asarray(kf_a.keypoints, jnp.float32), jnp.asarray(kf_b.keypoints, jnp.float32), sel
@@ -162,25 +161,106 @@ def _verify_loop(system, kf_a, kf_b, config: SLAMRunConfig):
     n1 = normalize_pixels(p1, K)
     n2 = normalize_pixels(p2, K)
     ransac = ransac_essential(
-        jax.random.fold_in(system.registry.key_for("loop_closure"), int(kf_b.frame_id)),
+        jax.random.fold_in(system.registry.key_for("loop_closure"), salt),
         n1, n2, sel.valid,
-        RansacConfig(num_hypotheses=256, min_inliers=config.loop_min_inliers),
+        RansacConfig(num_hypotheses=256, min_inliers=min_inliers),
         threshold=2.0 / float(system.K[0, 0]),
     )
+    if not bool(ransac.success):
+        return None
+    return sel, ransac, n1, n2
+
+
+def _loop_scale_from_structure(system, kf_a, kf_a_next, loop_sel, loop_depths):
+    """Sim3-style loop-edge scale via structure transfer.
+
+    Triangulates kf_a's features twice — against its odometry-chain
+    neighbour (baseline known in chain units) and against the loop
+    candidate (unit baseline) — and recovers the loop baseline in chain
+    units from the median depth ratio over features shared by both
+    matchings. Parity: ``visual_slam_offline_entry_point.py:417-430``
+    (Sim3 loop-scale estimate), done from triangulated depths instead of
+    the reference's landmark heuristics.
+
+    Returns None when there is no usable overlap (caller falls back).
+    """
+    import jax.numpy as jnp
+
+    from mvslam_tpu.geometry.epipolar import decompose_essential, triangulate_normalized
+
+    pair = _match_pair_essential(
+        system, kf_a, kf_a_next, min_inliers=15, salt=int(kf_a.frame_id) * 2 + 1
+    )
+    if pair is None:
+        return None
+    sel_n, ransac_n, n1_n, n2_n = pair
+    chain_base = float(np.linalg.norm(kf_a_next.pose[:3, 3] - kf_a.pose[:3, 3]))
+    if chain_base < 1e-9:
+        return None
+    R_n, t_n, _ = decompose_essential(
+        ransac_n.model, n1_n, n2_n, weights=ransac_n.inliers.astype(jnp.float32)
+    )
+    X_n = np.asarray(triangulate_normalized(R_n, t_n, n1_n, n2_n))
+    z_chain = X_n[:, 2] * chain_base  # depths of kf_a features, chain units
+    idx_chain = np.asarray(sel_n.pairs[:, 0])
+    ok_chain = np.asarray(sel_n.valid) & np.asarray(ransac_n.inliers) & (X_n[:, 2] > 1e-6)
+
+    idx_loop = np.asarray(loop_sel.pairs[:, 0])
+    ok_loop = np.asarray(loop_sel.valid) & (loop_depths > 1e-6)
+
+    depth_by_feature = {
+        int(f): z_chain[i] for i, f in enumerate(idx_chain) if ok_chain[i]
+    }
+    ratios = [
+        depth_by_feature[int(f)] / loop_depths[i]
+        for i, f in enumerate(idx_loop)
+        if ok_loop[i] and int(f) in depth_by_feature
+    ]
+    if len(ratios) < 8:
+        return None
+    return float(np.median(ratios))
+
+
+def _verify_loop(system, kf_a, kf_b, config: SLAMRunConfig, kf_a_next=None):
+    """Geometric loop verification: match + essential RANSAC between two
+    keyframes; returns (T_a_b relative SE3, inliers, ratio) or None.
+
+    Parity: ``visual_slam_offline_entry_point.py:557-648``.
+    """
+    import jax.numpy as jnp
+
+    from mvslam_tpu.geometry.epipolar import decompose_essential, triangulate_normalized
+
+    pair = _match_pair_essential(
+        system, kf_a, kf_b, min_inliers=config.loop_min_inliers, salt=int(kf_b.frame_id)
+    )
+    if pair is None:
+        return None
+    sel, ransac, n1, n2 = pair
     inliers = int(ransac.num_inliers)
     ratio = float(ransac.inlier_ratio)
-    if not bool(ransac.success) or ratio < config.loop_min_inlier_ratio:
+    if ratio < config.loop_min_inlier_ratio:
         return None
     R, t, _ = decompose_essential(
         ransac.model, n1, n2, weights=ransac.inliers.astype(jnp.float32)
     )
+    X_loop = np.asarray(triangulate_normalized(R, t, n1, n2))
     R = np.asarray(R, np.float64)
     t = np.asarray(t, np.float64)
-    # Loop-scale estimation: reuse the odometry chain's scale between the
-    # two keyframes (unit-norm essential translation is scale-free).
-    # Parity: ref L417-430 (Sim3 scale estimate).
-    chain_dist = np.linalg.norm(kf_b.pose[:3, 3] - kf_a.pose[:3, 3])
-    scale = max(chain_dist, 1e-6) if chain_dist < 1.0 else 1.0
+    # Loop-edge scale: structure transfer through kf_a's chain neighbour
+    # when possible (a true revisit yields a near-zero baseline, which the
+    # chain-distance heuristic below cannot see), else the odometry
+    # chain's distance. Parity: ref L417-430 (Sim3 scale estimate).
+    chain_dist = float(np.linalg.norm(kf_b.pose[:3, 3] - kf_a.pose[:3, 3]))
+    scale = None
+    if kf_a_next is not None:
+        scale = _loop_scale_from_structure(system, kf_a, kf_a_next, sel, X_loop[:, 2])
+    if scale is None:
+        scale = max(chain_dist, 1e-6) if chain_dist < 1.0 else 1.0
+    else:
+        # A loop baseline beyond the chain estimate is unphysical drift
+        # amplification — cap it.
+        scale = float(np.clip(scale, 0.0, max(chain_dist, 1.0)))
     rel = np.eye(4)
     rel[:3, :3] = R.T
     rel[:3, 3] = -R.T @ (t * scale)
@@ -258,7 +338,15 @@ def run_visual_slam(config: SLAMRunConfig) -> Dict[str, Any]:
             logger.info(
                 "loop candidate", extra={"query": kf.frame_id, "candidate": cand_frame_id}
             )
-            verified = _verify_loop(system, cand, kf, config)
+            cand_idx = next(
+                i for i, k in enumerate(system.keyframes.keyframes)
+                if k.frame_id == cand_frame_id
+            )
+            neighbours = system.keyframes.keyframes
+            cand_next = (
+                neighbours[cand_idx + 1] if cand_idx + 1 < len(neighbours) else None
+            )
+            verified = _verify_loop(system, cand, kf, config, kf_a_next=cand_next)
             if verified is None:
                 continue
             rel, inliers, ratio = verified
@@ -279,6 +367,24 @@ def run_visual_slam(config: SLAMRunConfig) -> Dict[str, Any]:
             )
             graph.optimize(SolverConfig(max_iterations=15, damping=1e-4))
             corrected = graph.poses()
+            # Propagate the correction into the recorded per-frame
+            # trajectory: each keyframe's rigid delta applies to its span
+            # of frames (loop closure must move the final estimate, not
+            # just the keyframe chain).
+            traj = system.trajectory
+            fid_to_idx = {f: i for i, f in enumerate(traj.frame_ids)}
+            for k, kf_obj in enumerate(kfs):
+                start = fid_to_idx.get(kf_obj.frame_id)
+                if start is None:
+                    continue
+                delta = corrected[k] @ np.linalg.inv(kf_obj.pose)
+                end = (
+                    fid_to_idx.get(kfs[k + 1].frame_id, len(traj.poses))
+                    if k + 1 < len(kfs)
+                    else len(traj.poses)
+                )
+                for idx in range(start, end):
+                    traj.poses[idx] = delta @ traj.poses[idx]
             for k, kf_obj in enumerate(kfs):
                 kf_obj.pose = corrected[k]
             system._pose = corrected[-1].copy()

@@ -49,12 +49,13 @@ _SCALAR_FIELDS = (
     "essential_score",
     "homography_score",
     "median_displacement_px",
+    "homography_share",
     "num_valid_matches",
 )
 
 
 def _pack_values(pose: DevicePoseResult, num_matches, num_features) -> jnp.ndarray:
-    """Flatten every host-needed scalar into ONE f32 array (..., 24).
+    """Flatten every host-needed scalar into ONE f32 array (..., 25).
 
     Computed INSIDE the tracking program so the host fetch is a single
     already-materialised transfer. A pytree ``device_get`` issues one

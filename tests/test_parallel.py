@@ -108,7 +108,7 @@ class TestMeshedSuperwindow:
         from mvslam_tpu.parallel.mesh import track_superwindow_meshed
         from mvslam_tpu.slam.tracking import bootstrap_frame, track_superwindow
 
-        frames_np, _, (fx, fy, cx, cy) = render_scene(num_frames=17, h=160, w=224, seed=2)
+        frames_np, _, (fx, fy, cx, cy), _ = render_scene(num_frames=17, h=160, w=224, seed=2)
         K = jnp.asarray([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], jnp.float32)
         fc = FeaturePipelineConfig(num_features=256, max_matches=128)
         pc = RobustPoseEstimatorConfig(
@@ -121,7 +121,7 @@ class TestMeshedSuperwindow:
         last_ref, track_ref = track_superwindow(
             key, prev, frames, K, fc, pc, window=8, start_index=jnp.asarray(1, jnp.int32)
         )
-        ref = np.asarray(track_ref.scalars_packed)  # (S, W, 24)
+        ref = np.asarray(track_ref.scalars_packed)  # (S, W, 25)
 
         for n_dev in (2, 8):
             mesh = make_mesh(n_dev)
@@ -130,8 +130,8 @@ class TestMeshedSuperwindow:
                 start_index=jnp.asarray(1, jnp.int32),
             )
             got = np.asarray(track.scalars_packed)
-            # Matching layer: bit-equal (num_matches idx 22, num_features idx 23).
-            np.testing.assert_array_equal(got[..., 22:24], ref[..., 22:24])
+            # Matching layer: bit-equal (num_matches idx 23, num_features idx 24).
+            np.testing.assert_array_equal(got[..., 23:25], ref[..., 23:25])
             np.testing.assert_array_equal(
                 np.asarray(last.descriptors), np.asarray(last_ref.descriptors)
             )
@@ -147,7 +147,7 @@ class TestMeshedSuperwindow:
         from mvslam_tpu.parallel.mesh import track_superwindow_meshed
         from mvslam_tpu.slam.tracking import bootstrap_frame
 
-        frames_np, _, (fx, fy, cx, cy) = render_scene(num_frames=9, h=120, w=160, seed=4)
+        frames_np, _, (fx, fy, cx, cy), _ = render_scene(num_frames=9, h=120, w=160, seed=4)
         K = jnp.asarray([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], jnp.float32)
         fc = FeaturePipelineConfig(num_features=128, max_matches=64)
         pc = RobustPoseEstimatorConfig(num_hypotheses=64)
