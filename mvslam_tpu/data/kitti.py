@@ -213,6 +213,116 @@ class MultiCameraKittiSequence:
         return matched, report
 
 
+def _normalize_drive_id(drive: str) -> str:
+    """Zero-pad numeric drive ids to 4 digits (parity: ref offline entry L281-283)."""
+    drive_str = str(drive)
+    return drive_str.zfill(4) if drive_str.isdigit() else drive_str
+
+
+def load_oxts_positions(oxts_dir: Path) -> np.ndarray:
+    """Parse a KITTI-raw ``oxts/data`` directory into local metric positions.
+
+    Each per-frame ``*.txt`` starts with ``lat lon alt ...``; positions are
+    projected to a local east/north/up frame anchored at the first fix via
+    the equirectangular approximation (x = east, y = north, z = alt delta).
+    Parity: ``visual_slam_offline_entry_point.py:295-324``
+    (``load_kitti_oxts_positions``).
+    """
+    oxts_dir = Path(oxts_dir)
+    if not oxts_dir.exists():
+        raise FileNotFoundError(f"missing oxts directory: {oxts_dir}")
+    files = sorted(oxts_dir.glob("*.txt"))
+    if not files:
+        raise FileNotFoundError(f"no oxts files in {oxts_dir}")
+    fixes = []
+    for path in files:
+        line = path.read_text().strip().splitlines()
+        if not line:
+            continue
+        parts = line[0].split()
+        fixes.append((float(parts[0]), float(parts[1]), float(parts[2])))
+    if not fixes:
+        raise ValueError(f"no valid OXTS entries under {oxts_dir}")
+    geo = np.asarray(fixes, dtype=np.float64)  # (N, 3) lat/lon/alt
+    lat0, lon0, alt0 = geo[0]
+    earth_radius = 6378137.0
+    east = np.radians(geo[:, 1] - lon0) * earth_radius * np.cos(np.radians(lat0))
+    north = np.radians(geo[:, 0] - lat0) * earth_radius
+    up = geo[:, 2] - alt0
+    return np.stack([east, north, up], axis=1)
+
+
+@dataclass(frozen=True)
+class KittiRawSession:
+    """KITTI-raw drive layout ``<base>/<date>/<date>_drive_<drive>_sync``.
+
+    Provides image paths, ``P_rect_*`` intrinsics from
+    ``calib_cam_to_cam.txt``, and OXTS ground-truth positions. Parity:
+    ``visual_slam_offline_entry_point.py:253-341`` (``KittiRawSession``,
+    ``load_kitti_image_paths``, ``load_kitti_oxts_positions``,
+    ``load_kitti_intrinsics``).
+    """
+
+    base_dir: Path
+    date: str
+    drive: str
+    camera: str = "image_00"
+
+    @property
+    def date_dir(self) -> Path:
+        return Path(self.base_dir) / self.date
+
+    @property
+    def drive_dir(self) -> Path:
+        return self.date_dir / f"{self.date}_drive_{_normalize_drive_id(self.drive)}_sync"
+
+    @property
+    def image_dir(self) -> Path:
+        return self.drive_dir / self.camera / "data"
+
+    @property
+    def oxts_dir(self) -> Path:
+        return self.drive_dir / "oxts" / "data"
+
+    @property
+    def calib_cam_to_cam(self) -> Path:
+        return self.date_dir / "calib_cam_to_cam.txt"
+
+    def image_paths(self) -> List[Path]:
+        if not self.image_dir.exists():
+            raise FileNotFoundError(f"missing image dir: {self.image_dir}")
+        paths = sorted(self.image_dir.glob("*.png"))
+        if not paths:
+            raise FileNotFoundError(f"no images in {self.image_dir}")
+        return paths
+
+    def camera_intrinsics(self) -> np.ndarray:
+        """K from the drive date's ``P_rect_<cam>`` rectified projection."""
+        if not self.calib_cam_to_cam.exists():
+            raise FileNotFoundError(f"missing calibration: {self.calib_cam_to_cam}")
+        calib = parse_kitti_calib_file(self.calib_cam_to_cam)
+        cam_idx = self.camera.split("_")[-1]
+        key = f"P_rect_{cam_idx}"
+        if key not in calib:
+            raise KeyError(f"{key} not found in {self.calib_cam_to_cam}")
+        return projection_to_intrinsics(calib[key])
+
+    def oxts_positions(self) -> np.ndarray:
+        """(N, 3) east/north/up metric ground-truth positions."""
+        return load_oxts_positions(self.oxts_dir)
+
+    def iter_frames(
+        self, max_frames: Optional[int] = None, buffer_size: int = 8
+    ) -> Iterator[FramePacket]:
+        paths = self.image_paths()
+        if max_frames is not None:
+            paths = paths[:max_frames]
+        stream = FrameStream(
+            paths, timestamps=[0.1 * i for i in range(len(paths))], buffer_size=buffer_size
+        )
+        yield from stream
+
+
 def load_ground_truth_poses(path: Path) -> np.ndarray:
     """KITTI odometry poses file: each line 12 floats (3x4 row-major) → (N, 4, 4)."""
     rows = []

@@ -35,8 +35,12 @@ class SLAMRunConfig:
     """Parity: ``visual_slam_offline_entry_point.py:203-229``."""
 
     input_path: Path
-    input_kind: str = "kitti"  # "kitti" | "images" | "video"
+    input_kind: str = "kitti"  # "kitti" | "kitti_raw" | "tum" | "images" | "video"
     sequence: str = "00"
+    # KITTI-raw drive selection (input_kind == "kitti_raw"; parity ref L244-283)
+    kitti_date: str = ""
+    kitti_drive: str = ""
+    kitti_camera: str = "image_00"
     max_frames: Optional[int] = None
     run_id: str = "offline_slam"
     output_root: Path = Path("runs")
@@ -81,6 +85,16 @@ def _load_frames(config: SLAMRunConfig):
         seq = KittiSequence(config.input_path, config.sequence)
         K = seq.camera_intrinsics()
         return seq.iter_frames(config.max_frames), K
+    if config.input_kind == "kitti_raw":
+        from mvslam_tpu.data.kitti import KittiRawSession
+
+        session = KittiRawSession(
+            base_dir=config.input_path,
+            date=config.kitti_date,
+            drive=config.kitti_drive,
+            camera=config.kitti_camera,
+        )
+        return session.iter_frames(config.max_frames), session.camera_intrinsics()
     if config.input_kind == "tum":
         from mvslam_tpu.data.tum import TumSequence
 
@@ -415,6 +429,28 @@ def run_visual_slam(config: SLAMRunConfig) -> Dict[str, Any]:
         gt = load_trajectory_file(config.ground_truth_path, "kitti_odom")
         est = positions_from_poses(np.stack(system.trajectory.poses))
         summary["metrics"] = compute_additional_metrics(est, gt)
+    elif config.input_kind == "kitti_raw":
+        # OXTS ground truth: ATE/RPE in the ground plane — camera (x, z)
+        # vs OXTS (east, north), Sim(2)-aligned (monocular scale is free).
+        # Parity: ``visual_slam_offline_entry_point.py:407-414`` — the
+        # reference truncates both to their first two columns; camera
+        # "forward" is z, so we take (x, z) rather than its (x, y).
+        from mvslam_tpu.data.kitti import KittiRawSession
+        from mvslam_tpu.eval.trajectory import compute_additional_metrics
+
+        session = KittiRawSession(
+            base_dir=config.input_path,
+            date=config.kitti_date,
+            drive=config.kitti_drive,
+            camera=config.kitti_camera,
+        )
+        gt_pos = session.oxts_positions()
+        est = np.stack(system.trajectory.poses)[:, :3, 3]
+        n = min(len(gt_pos), len(est))
+        summary["metrics"] = compute_additional_metrics(
+            est[:n][:, [0, 2]], gt_pos[:n, :2]
+        )
+        summary["ground_truth"] = "oxts"
     if animator is not None:
         animator.stop()
     (result.run_dir / "offline_summary.json").write_text(
@@ -426,8 +462,13 @@ def run_visual_slam(config: SLAMRunConfig) -> Dict[str, Any]:
 def main(argv: Optional[List[str]] = None) -> int:
     parser = argparse.ArgumentParser(description="Offline visual SLAM demo (TPU)")
     parser.add_argument("--input", type=Path, required=True)
-    parser.add_argument("--kind", choices=["kitti", "tum", "images", "video"], default="kitti")
+    parser.add_argument(
+        "--kind", choices=["kitti", "kitti_raw", "tum", "images", "video"], default="kitti"
+    )
     parser.add_argument("--sequence", default="00")
+    parser.add_argument("--date", default="", help="KITTI-raw drive date (e.g. 2011_09_26)")
+    parser.add_argument("--drive", default="", help="KITTI-raw drive id (e.g. 0001)")
+    parser.add_argument("--camera", default="image_00", help="KITTI-raw camera dir")
     parser.add_argument("--max-frames", type=int, default=None)
     parser.add_argument("--output-root", type=Path, default=Path("runs"))
     parser.add_argument("--seed", type=int, default=0)
@@ -450,6 +491,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             input_path=args.input,
             input_kind=args.kind,
             sequence=args.sequence,
+            kitti_date=args.date,
+            kitti_drive=args.drive,
+            kitti_camera=args.camera,
             max_frames=args.max_frames,
             output_root=args.output_root,
             seed=args.seed,

@@ -210,6 +210,80 @@ class TestOfflineEntryPoint:
         assert "ATE_RMSE" in summary["metrics"]
 
 
+def write_fake_kitti_raw(base: Path, num_frames=8, h=96, w=128, shift=4, seed=0):
+    """KITTI-raw drive layout with synthetic OXTS fixes.
+
+    Mirrors the reference layout consumed at
+    ``visual_slam_offline_entry_point.py:253-341``.
+    """
+    from PIL import Image
+
+    date = "2011_09_26"
+    drive_dir = base / date / f"{date}_drive_0001_sync"
+    img_dir = drive_dir / "image_00" / "data"
+    oxts_dir = drive_dir / "oxts" / "data"
+    img_dir.mkdir(parents=True)
+    oxts_dir.mkdir(parents=True)
+    rng = np.random.default_rng(seed)
+    base_img = rng.uniform(0, 30, size=(h, w + shift * num_frames)).astype(np.float32)
+    for _ in range(80):
+        y = rng.integers(22, h - 28)
+        x = rng.integers(22, base_img.shape[1] - 28)
+        s = rng.integers(3, 7)
+        base_img[y : y + s, x : x + s] = rng.uniform(140, 255)
+    half = h // 2
+    lat0, lon0, alt0 = 49.0, 8.43, 112.0
+    earth_radius = 6378137.0
+    for i in range(num_frames):
+        top = base_img[:half, (i * shift) // 2 : (i * shift) // 2 + w]
+        bottom = base_img[half:, i * shift : i * shift + w]
+        frame = np.concatenate([top, bottom], axis=0).astype(np.uint8)
+        Image.fromarray(frame, mode="L").save(img_dir / f"{i:010d}.png")
+        # Vehicle moves ~0.8 m east per frame: invert the ENU projection.
+        east = 0.8 * i
+        lon = lon0 + np.degrees(east / (earth_radius * np.cos(np.radians(lat0))))
+        (oxts_dir / f"{i:010d}.txt").write_text(
+            f"{lat0:.9f} {lon:.12f} {alt0:.3f} 0 0 0 0 0 0 0\n"
+        )
+    (base / date / "calib_cam_to_cam.txt").write_text(
+        f"P_rect_00: 100 0 {w/2} 0 0 100 {h/2} 0 0 0 1 0\n"
+    )
+    return base
+
+
+class TestKittiRawOxts:
+    def test_oxts_projection_is_metric(self, tmp_path):
+        from mvslam_tpu.data.kitti import KittiRawSession
+
+        base = write_fake_kitti_raw(tmp_path / "raw")
+        session = KittiRawSession(base_dir=base, date="2011_09_26", drive="1")
+        pos = session.oxts_positions()
+        assert pos.shape == (8, 3)
+        np.testing.assert_allclose(pos[:, 0], 0.8 * np.arange(8), atol=1e-6)
+        np.testing.assert_allclose(pos[:, 1:], 0.0, atol=1e-6)
+        K = session.camera_intrinsics()
+        assert K[0, 0] == 100.0 and K[2, 2] == 1.0
+
+    def test_run_visual_slam_kitti_raw_uses_oxts_gt(self, tmp_path):
+        from mvslam_tpu.slam.offline import SLAMRunConfig, run_visual_slam
+
+        base = write_fake_kitti_raw(tmp_path / "raw")
+        summary = run_visual_slam(
+            SLAMRunConfig(
+                input_path=base,
+                input_kind="kitti_raw",
+                kitti_date="2011_09_26",
+                kitti_drive="0001",
+                output_root=tmp_path / "runs",
+                enable_loop_closure=False,
+            )
+        )
+        assert summary["frames"] == 8
+        assert summary.get("ground_truth") == "oxts"
+        assert "ATE_RMSE" in summary["metrics"]
+        assert np.isfinite(summary["metrics"]["ATE_RMSE"])
+
+
 class TestRelocalizationDemo:
     def test_demo_reports_recovery(self, tmp_path):
         from mvslam_tpu.slam.relocalization_demo import (
