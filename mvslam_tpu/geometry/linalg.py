@@ -34,7 +34,9 @@ def inv3x3(M: jnp.ndarray) -> jnp.ndarray:
     H = b * g - a * h
     I = a * e - b * d
     det = a * A + b * D + c * G
-    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    # Sign-preserving clamp: a tiny NEGATIVE det must clamp to -1e-30, or
+    # the inverse comes back globally sign-flipped.
+    det = jnp.where(jnp.abs(det) < 1e-30, jnp.where(det < 0, -1e-30, 1e-30), det)
     adj = jnp.stack(
         [
             jnp.stack([A, B, C], axis=-1),
@@ -44,6 +46,14 @@ def inv3x3(M: jnp.ndarray) -> jnp.ndarray:
         axis=-2,
     )
     return adj / det[..., None, None]
+
+
+def det3x3(M: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form determinant of (..., 3, 3) matrices (no LU custom-call)."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    return a * (e * i - f * h) + b * (f * g - d * i) + c * (d * h - e * g)
 
 
 def _gauss_jordan_inverse(S: jnp.ndarray) -> jnp.ndarray:
@@ -56,17 +66,30 @@ def _gauss_jordan_inverse(S: jnp.ndarray) -> jnp.ndarray:
     Cholesky custom-call is a sequential per-column routine (profiled at
     ~0.5 ms per 16x512 batch of 9x9s in the tracking program).
     """
+    inv, _ = _gauss_jordan_inverse_with_pivots(S)
+    return inv
+
+
+def _gauss_jordan_inverse_with_pivots(S: jnp.ndarray):
+    """As :func:`_gauss_jordan_inverse`, also returning the minimum pivot.
+
+    For a genuinely SPD input every elimination pivot is positive; a
+    non-positive ``min_pivot`` (..., ) means roundoff left the system
+    indefinite and the returned inverse — finite or not — is untrustworthy.
+    """
     n = S.shape[-1]
     eye = jnp.broadcast_to(jnp.eye(n, dtype=S.dtype), S.shape)
     aug = jnp.concatenate([S, eye], axis=-1)  # (..., n, 2n)
+    min_pivot = jnp.full(S.shape[:-2], jnp.inf, dtype=S.dtype)
     for k in range(n):
         pivot = aug[..., k, k : k + 1]  # (..., 1)
+        min_pivot = jnp.minimum(min_pivot, pivot[..., 0])
         row_k = aug[..., k, :] / pivot  # (..., 2n)
         factor = aug[..., :, k]  # (..., n)
         factor = factor.at[..., k].set(0.0)
         aug = aug - factor[..., :, None] * row_k[..., None, :]
         aug = aug.at[..., k, :].set(row_k)
-    return aug[..., :, n:]
+    return aug[..., :, n:], min_pivot
 
 
 def smallest_eigvec_psd(S: jnp.ndarray, iterations: int = 10, rescue: bool = True) -> jnp.ndarray:
@@ -94,9 +117,17 @@ def smallest_eigvec_psd(S: jnp.ndarray, iterations: int = 10, rescue: bool = Tru
     # the sequential Cholesky/triangular-solve custom-calls that profiled
     # as the pose stage's hottest ops), then run the iterations as batched
     # matvecs (near-free on the MXU).
-    invert = inv3x3 if n == 3 else _gauss_jordan_inverse
+    if n == 3:
+        def invert(M):
+            # SPD health signal for the adjugate path: non-positive
+            # determinant ⇔ roundoff-indefinite input. Closed-form det
+            # (no LU custom-call, matching inv3x3's design).
+            return inv3x3(M), det3x3(M)
+
+    else:
+        invert = _gauss_jordan_inverse_with_pivots
     S_ridged = S + ridge
-    S_inv = invert(S_ridged)
+    S_inv, pivot_sig = invert(S_ridged)
     if rescue:
         # A second inversion with 100x ridge rescues elements whose f32
         # roundoff left S singular beyond the base ridge. Unlike the old
@@ -111,10 +142,14 @@ def smallest_eigvec_psd(S: jnp.ndarray, iterations: int = 10, rescue: bool = Tru
         # inverse only runs on the rescue path (inlier REFITS, where a
         # poisoned model matters); RANSAC hypothesis batches (where a bad
         # candidate merely scores zero inliers) skip it.
+        # Two independent detectors: the magnitude bound, plus a pivot/
+        # determinant positivity signal — no-pivot elimination on a
+        # roundoff-indefinite S can return finite, in-bound but inaccurate
+        # inverses that magnitude alone would miss.
         bound = 10.0 / (1e-7 * trace + 1e-12)[..., None, None]
         peak = jnp.max(jnp.abs(S_inv), axis=(-2, -1), keepdims=True)
-        bad = ~jnp.isfinite(peak) | (peak > bound)
-        S_inv_big = invert(S + 100.0 * ridge)
+        bad = ~jnp.isfinite(peak) | (peak > bound) | (pivot_sig <= 0)[..., None, None]
+        S_inv_big, _ = invert(S + 100.0 * ridge)
         S_inv = jnp.where(bad, S_inv_big, S_inv)
 
     x = jnp.broadcast_to(jnp.linspace(1.0, 1.3, n, dtype=S.dtype), S.shape[:-2] + (n,))

@@ -88,10 +88,21 @@ int DecodePgmGray(const uint8_t* data, size_t size, uint8_t* out,
   const size_t n = static_cast<size_t>(width) * static_cast<size_t>(height);
   if (maxval < 256) {
     if (static_cast<size_t>(end - p) < n) return kErrDecode;
-    std::memcpy(out, p, n);
-  } else {  // 16-bit big-endian -> high byte
+    if (maxval == 255) {
+      std::memcpy(out, p, n);
+    } else {  // rescale non-standard maxval to [0, 255] with rounding
+      for (size_t i = 0; i < n; ++i) {
+        long v = p[i] > maxval ? maxval : p[i];
+        out[i] = static_cast<uint8_t>((v * 255 + maxval / 2) / maxval);
+      }
+    }
+  } else {  // 16-bit big-endian -> scaled to [0, 255] with rounding
     if (static_cast<size_t>(end - p) < 2 * n) return kErrDecode;
-    for (size_t i = 0; i < n; ++i) out[i] = p[2 * i];
+    for (size_t i = 0; i < n; ++i) {
+      long v = (static_cast<long>(p[2 * i]) << 8) | p[2 * i + 1];
+      if (v > maxval) v = maxval;
+      out[i] = static_cast<uint8_t>((v * 255 + maxval / 2) / maxval);
+    }
   }
   *h = static_cast<int32_t>(height);
   *w = static_cast<int32_t>(width);

@@ -118,8 +118,10 @@ def extract_patches(image: jnp.ndarray, xy: jnp.ndarray, out_dtype=None) -> jnp.
 
         return extract_patches_pallas(image, xy, out_dtype=out_dtype)
     h, w = image.shape
-    xi = jnp.clip(xy[:, 0].astype(jnp.int32) - PATCH_RADIUS, 0, w - PATCH_DIM)
-    yi = jnp.clip(xy[:, 1].astype(jnp.int32) - PATCH_RADIUS, 0, h - PATCH_DIM)
+    # round() not trunc: subpixel-refined coordinates must anchor the
+    # patch on the nearest pixel (identical for integer inputs).
+    xi = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32) - PATCH_RADIUS, 0, w - PATCH_DIM)
+    yi = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32) - PATCH_RADIUS, 0, h - PATCH_DIM)
 
     def one(yy, xx):
         return jax.lax.dynamic_slice(image, (yy, xx), (PATCH_DIM, PATCH_DIM))

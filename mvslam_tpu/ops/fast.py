@@ -44,7 +44,20 @@ class FastConfig:
     nms_radius: int = 1  # 3x3 NMS window
     border_margin: int = 19  # keep clear of the 31px BRIEF patch + blur
     grid_cells: int = 0  # 0 = global top-K; else GxG cell-balanced selection
-    use_pallas: bool = False  # opt-in Pallas score kernel (XLA measured faster)
+    # Fused Pallas detect kernel (score+NMS+border in one VMEM pass,
+    # measured 1.6x over XLA on v5e — see pallas_fast.py). None = auto
+    # (on for TPU backends, off elsewhere); True/False force it.
+    use_pallas: bool | None = None
+    # Quadratic subpixel peak refinement on the raw score map. Integer
+    # corner positions carry ~0.5 px quantisation noise that dominates
+    # window-BA corrections and triangulation at small baselines; the
+    # 3-point parabola fit recovers most of it for free (two gathers).
+    subpixel: bool = True
+    # Per-cell candidate selection kernel: None = auto (approx_max_k on
+    # TPU, exact top_k elsewhere); True/False force it. Forcing lets CPU
+    # tests exercise the TPU selection path (approx_max_k has a reference
+    # lowering on every backend).
+    approx_select: bool | None = None
 
 
 def _circle_stack(image: jnp.ndarray) -> jnp.ndarray:
@@ -125,7 +138,12 @@ def _mask_border(score: jnp.ndarray, margin: int) -> jnp.ndarray:
     return jnp.where(keep, score, 0.0)
 
 
-def _grid_topk(score: jnp.ndarray, num_keypoints: int, cells: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _grid_topk(
+    score: jnp.ndarray,
+    num_keypoints: int,
+    cells: int,
+    approx_select: bool | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Cell-balanced candidate selection: top-(k/cell) per cell, then a
     global top-K over the union. Keeps features spread across the frame
     (the role of cv2 ORB's quadtree distribution)."""
@@ -136,7 +154,12 @@ def _grid_topk(score: jnp.ndarray, num_keypoints: int, cells: int) -> Tuple[jnp.
     tiles = padded.reshape(cells, ch, cells, cw).transpose(0, 2, 1, 3).reshape(cells * cells, ch * cw)
     per_cell = max(1, -(-num_keypoints // (cells * cells)) * 2)
     per_cell = min(per_cell, ch * cw)
-    if jax.default_backend() == "tpu" and per_cell < ch * cw:
+    use_approx = (
+        approx_select
+        if approx_select is not None
+        else jax.default_backend() == "tpu"
+    )
+    if use_approx and per_cell < ch * cw:
         # TPU's exact top_k lowers to a full per-cell sort (profiled at
         # ~0.33 ms/frame, the #2 op in the tracking program); the
         # bucketed approx_max_k kernel is ~10x cheaper. Missing a few of
@@ -175,21 +198,28 @@ def detect_keypoints(
     coordinates, scores (N,), valid (N,) bool. Invalid slots hold (0, 0)
     with score 0. vmap over a leading frame axis for batched detection.
     """
-    # Measured on v5e (50-iteration in-program loop, 370x1226): XLA 0.87
-    # ms/frame vs Pallas 1.19 ms/frame — XLA's fusion of this stencil wins,
-    # so the Pallas kernel stays opt-in (use_pallas=True) rather than auto.
-    use_pallas = bool(config.use_pallas)
-    if use_pallas:
-        from mvslam_tpu.ops.pallas_fast import fast_score_map_pallas
+    use_pallas = (
+        config.use_pallas
+        if config.use_pallas is not None
+        else jax.default_backend() == "tpu"
+    )
+    if use_pallas and config.nms_radius == 1:
+        # Fused score + 3x3 NMS + border mask in one VMEM pass (see
+        # ops/pallas_fast.py for the measured comparison vs XLA).
+        from mvslam_tpu.ops.pallas_fast import fast_detect_pallas
 
-        score = fast_score_map_pallas(image.astype(jnp.float32), float(config.threshold))
+        score, raw = fast_detect_pallas(
+            image, float(config.threshold), margin=config.border_margin
+        )
     else:
-        score = fast_score_map(image, config.threshold)
-    score = _nms(score, config.nms_radius)
-    score = _mask_border(score, config.border_margin)
+        raw = fast_score_map(image, config.threshold)
+        score = _nms(raw, config.nms_radius)
+        score = _mask_border(score, config.border_margin)
     h, w = score.shape
     if config.grid_cells > 1:
-        top_scores, lin = _grid_topk(score, num_keypoints, config.grid_cells)
+        top_scores, lin = _grid_topk(
+            score, num_keypoints, config.grid_cells, config.approx_select
+        )
         if top_scores.shape[0] < num_keypoints:
             pad = num_keypoints - top_scores.shape[0]
             top_scores = jnp.pad(top_scores, (0, pad))
@@ -201,5 +231,23 @@ def detect_keypoints(
     xs = (lin % w).astype(jnp.float32)
     valid = top_scores > 0.0
     xy = jnp.stack([xs, ys], axis=-1)
+    if config.subpixel:
+        # 3-point parabola peak on the RAW (pre-NMS) response: the NMS'd
+        # map zeroes a peak's neighbours, so it cannot be used here. The
+        # border margin keeps every selected peak's 4-neighbourhood in
+        # bounds; lin is clamped so invalid (padded) slots stay in range.
+        raw_flat = raw.reshape(-1).astype(jnp.float32)
+        lin_c = jnp.clip(lin, w + 1, h * w - w - 2)
+
+        def _offset(minus, centre, plus):
+            denom = minus - 2.0 * centre + plus
+            off = jnp.where(
+                jnp.abs(denom) > 1e-6, 0.5 * (minus - plus) / denom, 0.0
+            )
+            return jnp.clip(off, -0.5, 0.5)
+
+        dx = _offset(raw_flat[lin_c - 1], raw_flat[lin_c], raw_flat[lin_c + 1])
+        dy = _offset(raw_flat[lin_c - w], raw_flat[lin_c], raw_flat[lin_c + w])
+        xy = xy + jnp.stack([dx, dy], axis=-1)
     xy = jnp.where(valid[:, None], xy, 0.0)
     return xy, jnp.where(valid, top_scores, 0.0), valid

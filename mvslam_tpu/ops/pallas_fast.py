@@ -1,27 +1,22 @@
 """Pallas TPU kernel for the dense FAST-9/16 corner response.
 
 The XLA formulation (``ops.fast.fast_score_map``) materialises 16 rolled
-copies of the frame plus a cumsum stack for the arc test — ~40 HBM passes
-per frame. This kernel streams the frame once through VMEM in row tiles:
-each grid step reads its tile plus the next tile (halo rows), forms the 16
-circle taps as shifted in-register views, evaluates the contiguous-arc
-test with an unrolled window-AND, and writes one score tile. HBM traffic
-drops to ~2 passes (read + write); the VPU does the rest.
+copies of the frame plus the log-depth arc masks, then runs a separate
+``reduce_window`` pass for NMS and an iota pass for the border mask. This
+kernel streams the frame once through VMEM in row tiles and produces the
+final detection response in ONE pass: the 16 circle taps are shifted
+in-register views, the contiguous-arc-of-9 test uses the same log-depth
+AND-halving as the XLA path (4 stages instead of the 144-way unrolled
+window AND of the first kernel revision), and the 3x3 NMS + border mask
+are fused on the score rows while they are still in registers.
 
 Halo handling: Pallas Blocked indexing cannot express overlapping blocks,
 so the kernel takes TWO views of the padded image — block ``i`` and block
 ``i+1`` — and stitches the 2·HALO halo rows from the second view.
 
-Numerics match ``fast_score_map`` to float rounding (same taps, same SAD-
-above-threshold score).
-
-Measured on v5e (50-iteration in-program loop, 370x1226 frames): this
-kernel runs at 1.19 ms/frame vs 0.87 ms/frame for the XLA formulation —
-XLA's fusion of the 16-tap stencil plus cumsum arc test is already near
-the HBM roofline, and the kernel's unrolled 144-way window-AND costs more
-VPU work than the cumsum trick. It therefore stays **opt-in**
-(``FastConfig(use_pallas=True)``) as the template for future fused
-detect+describe work rather than the default path.
+Numerics match ``_mask_border(_nms(fast_score_map(x), 1), margin)`` to
+float rounding (same taps, same SAD-above-threshold score, same >= NMS
+tie rule).
 """
 
 from __future__ import annotations
@@ -41,26 +36,31 @@ _CIRCLE = (
     (0, -3), (-1, -3), (-2, -2), (-3, -1),
 )
 _ARC = 9
-_HALO = 3
+_HALO = 4  # 3 rows for the FAST circle + 1 row for the 3x3 NMS window
 _TILE_H = 64
 _LANE = 128
 
 
-def _score_kernel(threshold, cur_ref, nxt_ref, out_ref):
-    tile_h = out_ref.shape[0]
-    # Working view: this tile plus 2*HALO halo rows from the next block.
-    work = jnp.concatenate([cur_ref[:, :], nxt_ref[: 2 * _HALO, :]], axis=0)
-    center = work[_HALO : _HALO + tile_h, :]
+def _roll_lanes(x, dx):
+    """Circular lane shift by dx (positive = toward higher lane index)."""
+    if dx == 0:
+        return x
+    return pltpu.roll(x, dx % x.shape[1], axis=1)
 
+
+def _score_rows(work, row0, rows, threshold):
+    """FAST-9 score for ``rows`` rows starting at padded-row ``row0``.
+
+    ``work`` must cover [row0 - 3, row0 + rows + 3). Returns (rows, W).
+    """
+    center = work[row0 : row0 + rows, :]
     brighter = []
     darker = []
     excess_b = jnp.zeros_like(center)
     excess_d = jnp.zeros_like(center)
-    lanes = work.shape[1]
     for dy, dx in _CIRCLE:
-        rows = work[_HALO + dy : _HALO + dy + tile_h, :]
-        # pltpu.roll requires non-negative shifts; -dx mod lanes is equivalent.
-        tap = pltpu.roll(rows, (-dx) % lanes, axis=1) if dx else rows
+        tap_rows = work[row0 + dy : row0 + dy + rows, :]
+        tap = _roll_lanes(tap_rows, -dx)
         diff = tap - center
         b = diff > threshold
         d = diff < -threshold
@@ -70,51 +70,94 @@ def _score_kernel(threshold, cur_ref, nxt_ref, out_ref):
         excess_b = excess_b + jnp.where(b, mag, 0.0)
         excess_d = excess_d + jnp.where(d, mag, 0.0)
 
-    def has_arc(masks):
-        hit = None
-        for start in range(16):
-            run = masks[start % 16]
-            for k in range(1, _ARC):
-                run = jnp.logical_and(run, masks[(start + k) % 16])
-            hit = run if hit is None else jnp.logical_or(hit, run)
+    def has_arc(m):
+        # Circular run of 9 via log-depth AND-halving over the 16-entry
+        # register list (same trick as ops.fast.fast_score_map:79-90, but
+        # the "roll" is free list indexing): m2(i)=m(i)&m(i+1),
+        # m4=m2&m2(+2), m8=m4&m4(+4), run-of-9 at i = m8(i)&m(i+8).
+        m2 = [m[i] & m[(i + 1) % 16] for i in range(16)]
+        m4 = [m2[i] & m2[(i + 2) % 16] for i in range(16)]
+        m8 = [m4[i] & m4[(i + 4) % 16] for i in range(16)]
+        m9 = [m8[i] & m[(i + 8) % 16] for i in range(16)]
+        hit = m9[0]
+        for i in range(1, 16):
+            hit = hit | m9[i]
         return hit
 
     bright_corner = has_arc(brighter)
     dark_corner = has_arc(darker)
-    out_ref[:, :] = jnp.maximum(
+    return jnp.maximum(
         jnp.where(bright_corner, excess_b, 0.0),
         jnp.where(dark_corner, excess_d, 0.0),
     )
 
 
-@functools.partial(jax.jit, static_argnames=("threshold",))
-def fast_score_map_pallas(image: jnp.ndarray, threshold: float) -> jnp.ndarray:
-    """Dense FAST-9 response via the Pallas kernel. image: (H, W) → (H, W)."""
+def _detect_kernel(threshold, h, w, margin, cur_ref, nxt_ref, out_ref, raw_ref):
+    tile_h = out_ref.shape[0]
+    # Working view: this tile plus 2*HALO halo rows from the next block.
+    work = jnp.concatenate([cur_ref[:, :], nxt_ref[: 2 * _HALO, :]], axis=0)
+    # Scores for the tile rows plus one NMS halo row on each side:
+    # padded rows [tile_start + HALO - 1, tile_start + HALO + tile_h + 1).
+    score_ext = _score_rows(work, _HALO - 1, tile_h + 2, threshold)
+
+    # 3x3 NMS on the centre rows while everything is in registers.
+    rows3 = jnp.maximum(
+        jnp.maximum(score_ext[0:tile_h, :], score_ext[1 : tile_h + 1, :]),
+        score_ext[2 : tile_h + 2, :],
+    )
+    pooled = jnp.maximum(
+        jnp.maximum(_roll_lanes(rows3, -1), rows3), _roll_lanes(rows3, 1)
+    )
+    score = score_ext[1 : tile_h + 1, :]
+    raw_ref[:, :] = score  # pre-NMS response for subpixel peak refinement
+    score = jnp.where(score >= pooled, score, 0.0)
+
+    # Border mask with GLOBAL row coordinates (margin also suppresses the
+    # circular lane-roll wraparound at the left/right image edges).
+    tile = pl.program_id(0)
+    ys = tile * tile_h + jax.lax.broadcasted_iota(jnp.int32, score.shape, 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
+    keep = (ys >= margin) & (ys < h - margin) & (xs >= margin) & (xs < w - margin)
+    out_ref[:, :] = jnp.where(keep, score, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("threshold", "margin"))
+def fast_detect_pallas(image: jnp.ndarray, threshold: float, margin: int = 19):
+    """Fused FAST-9 response + 3x3 NMS + border mask in one HBM pass.
+
+    image: (H, W) → ``(detections, raw)`` float32 (H, W) maps. ``detections``
+    equals ``_mask_border(_nms(fast_score_map(image, threshold), 1), margin)``;
+    ``raw`` is the pre-NMS response used for subpixel peak refinement.
+    """
     image = image.astype(jnp.float32)
     h, w = image.shape
     wp = w + (-w % _LANE)
     num_tiles = -(-h // _TILE_H)
-    # Rows: HALO top + image + padding so that block num_tiles (the halo
-    # view of the last tile) exists: (num_tiles + 1) * TILE_H rows total.
     total_rows = (num_tiles + 1) * _TILE_H
     padded = jnp.pad(image, ((_HALO, total_rows - _HALO - h), (0, wp - w)))
 
-    out = pl.pallas_call(
-        functools.partial(_score_kernel, float(threshold)),
-        out_shape=jax.ShapeDtypeStruct((num_tiles * _TILE_H, wp), jnp.float32),
+    out, raw = pl.pallas_call(
+        functools.partial(_detect_kernel, float(threshold), h, w, int(margin)),
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles * _TILE_H, wp), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles * _TILE_H, wp), jnp.float32),
+        ],
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec((_TILE_H, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_TILE_H, wp), lambda i: (i + 1, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_TILE_H, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=[
+            pl.BlockSpec((_TILE_H, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE_H, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
         cost_estimate=pl.CostEstimate(
-            flops=int(num_tiles * _TILE_H * wp * 250),
-            bytes_accessed=int(num_tiles * _TILE_H * wp * 12),
+            flops=int(num_tiles * _TILE_H * wp * 180),
+            bytes_accessed=int(num_tiles * _TILE_H * wp * 16),
             transcendentals=0,
         ),
     )(padded, padded)
-    return out[:h, :w]
+    return out[:h, :w], raw[:h, :w]
 
 
 def pallas_available() -> bool:

@@ -41,10 +41,16 @@ _OUT_H, _OUT_W = 32, 32
 
 def _geometry(dtype):
     """(y_align, slab_h) per dtype: DMA row starts must be sublane-tile
-    aligned — 8 rows for f32, 16 for bf16 — and the slab must cover the
-    max in-tile offset plus the 32-row output window."""
-    if dtype == jnp.bfloat16:
-        return 16, 48
+    aligned and the slab must cover the max in-tile offset plus the
+    32-row output window. Only 32-bit image dtypes are supported: the
+    in-register ``pltpu.roll`` below is 32-bit-only, so a bf16 IMAGE
+    (as opposed to bf16 *output* narrowing, which converts after the
+    roll) would miscompile in Mosaic."""
+    if jnp.dtype(dtype).itemsize != 4:
+        raise ValueError(
+            f"extract_patches_pallas requires a 32-bit image dtype, got {dtype}; "
+            "use out_dtype for bf16 narrowing of the patches instead"
+        )
     return 8, 40
 
 
@@ -55,8 +61,10 @@ def _pack_starts(image_hw, xy, y_align):
     radius = PATCH_SIZE // 2
     # Identical clamping to the XLA path: starts clipped so the full
     # 32x32 output tile stays inside the image.
-    yi = jnp.clip(xy[..., 1].astype(jnp.int32) - radius, 0, h - _OUT_H)
-    xi = jnp.clip(xy[..., 0].astype(jnp.int32) - radius, 0, w - _OUT_W)
+    # round() not trunc: subpixel-refined coordinates must anchor the
+    # patch on the nearest pixel (identical for integer inputs).
+    yi = jnp.clip(jnp.round(xy[..., 1]).astype(jnp.int32) - radius, 0, h - _OUT_H)
+    xi = jnp.clip(jnp.round(xy[..., 0]).astype(jnp.int32) - radius, 0, w - _OUT_W)
     return (
         ((yi // y_align) << 19)
         | ((xi // 128) << 11)

@@ -74,6 +74,25 @@ class TestDecode:
             f.write(img.tobytes())
         np.testing.assert_array_equal(native.decode_gray(p), img)
 
+    def test_pgm_maxval_scaling(self, tmp_path):
+        """Non-255 maxval rescales to [0,255] with rounding (8- and 16-bit)."""
+        # 8-bit, maxval=100: v -> round(v*255/100)
+        vals = np.array([[0, 1, 50, 99, 100]], dtype=np.uint8)
+        p8 = tmp_path / "m100.pgm"
+        with open(p8, "wb") as f:
+            f.write(b"P5\n5 1\n100\n")
+            f.write(vals.tobytes())
+        expect8 = np.round(vals.astype(np.int64) * 255 / 100).astype(np.uint8)
+        np.testing.assert_array_equal(native.decode_gray(p8), expect8)
+        # 16-bit big-endian, maxval=65535: v -> round(v*255/65535), NOT v>>8
+        v16 = np.array([[0, 128, 255, 256, 65535, 32768]], dtype=np.uint16)
+        p16 = tmp_path / "m16.pgm"
+        with open(p16, "wb") as f:
+            f.write(b"P5\n6 1\n65535\n")
+            f.write(v16.byteswap().tobytes())  # big-endian sample order
+        expect16 = np.round(v16.astype(np.int64) * 255 / 65535).astype(np.uint8)
+        np.testing.assert_array_equal(native.decode_gray(p16), expect16)
+
     def test_missing_and_corrupt_files(self, tmp_path):
         assert native.decode_gray(tmp_path / "nope.png") is None
         bad = tmp_path / "bad.png"

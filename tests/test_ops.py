@@ -89,6 +89,21 @@ class TestFast:
         xy, scores, valid = detect_keypoints(img, num_keypoints=64)
         assert xy.shape == (64, 2) and scores.shape == (64,) and valid.shape == (64,)
 
+    def test_approx_select_overlap(self):
+        """The TPU selection path (approx_max_k, forced here via
+        approx_select=True) recovers nearly the same keypoint set as the
+        exact top_k path — covers the path CPU tests otherwise skip."""
+        img = jnp.asarray(textured_image(n_blobs=80, seed=11))
+        exact_cfg = FastConfig(grid_cells=4, approx_select=False)
+        approx_cfg = FastConfig(grid_cells=4, approx_select=True)
+        xy_e, _, v_e = detect_keypoints(img, num_keypoints=128, config=exact_cfg)
+        xy_a, _, v_a = detect_keypoints(img, num_keypoints=128, config=approx_cfg)
+        set_e = {tuple(p) for p in np.asarray(xy_e[v_e]).round(2).tolist()}
+        set_a = {tuple(p) for p in np.asarray(xy_a[v_a]).round(2).tolist()}
+        assert len(set_e) > 16
+        overlap = len(set_e & set_a) / max(len(set_e), 1)
+        assert overlap >= 0.9
+
 
 class TestBrief:
     def test_descriptor_shift_invariance(self):
@@ -261,19 +276,24 @@ class TestRansac:
 
 class TestPallasFast:
     def test_pallas_matches_xla_interior(self):
-        """Pallas score kernel ≈ XLA formulation away from borders
+        """Fused Pallas detect kernel ≈ XLA score+NMS+border composition
         (interpret mode on CPU; compiled path covered on TPU)."""
-        import jax
         from jax.experimental.pallas import tpu as pltpu
 
-        from mvslam_tpu.ops.pallas_fast import fast_score_map_pallas
+        from mvslam_tpu.ops.fast import _mask_border, _nms
+        from mvslam_tpu.ops.pallas_fast import fast_detect_pallas
 
         img = jnp.asarray(textured_image(h=96, w=160))
-        ref = np.asarray(fast_score_map(img, 20.0))
+        raw_ref = np.asarray(fast_score_map(img, 20.0))
+        ref = np.asarray(_mask_border(_nms(jnp.asarray(raw_ref), 1), 19))
         with pltpu.force_tpu_interpret_mode():
-            pal = np.asarray(fast_score_map_pallas(img, 20.0))
+            pal, raw = fast_detect_pallas(img, 20.0, margin=19)
+        assert np.abs(ref - np.asarray(pal)).max() < 1e-2
+        # Raw response: borders legitimately differ (XLA's jnp.roll wraps,
+        # the kernel zero-pads) — only the interior feeds subpixel
+        # refinement (peaks live inside the 19 px margin).
         inner = (slice(8, -8), slice(8, -8))
-        assert np.abs(ref[inner] - pal[inner]).max() < 1e-2
+        assert np.abs(raw_ref[inner] - np.asarray(raw)[inner]).max() < 1e-2
 
     def test_detect_with_pallas_flag(self):
         """FastConfig(use_pallas=True) produces the same keypoints."""
@@ -315,6 +335,18 @@ class TestPallasPatches:
         ref = np.asarray(jax.vmap(one)(yi, xi)).reshape(n, PATCH_PIXELS)
         pal = np.asarray(extract_patches_pallas(img, xy, interpret=True))
         assert np.array_equal(ref, pal)
+
+    def test_sub32bit_image_rejected(self):
+        """bf16 IMAGES are rejected (pltpu.roll is 32-bit-only); bf16
+        output narrowing is the supported path."""
+        import pytest
+
+        from mvslam_tpu.ops.pallas_patches import extract_patches_pallas
+
+        img = jnp.zeros((64, 128), jnp.bfloat16)
+        xy = jnp.zeros((4, 2), jnp.float32)
+        with pytest.raises(ValueError, match="32-bit image dtype"):
+            extract_patches_pallas(img, xy, interpret=True)
 
 
 class TestMultiScaleDetection:
