@@ -51,6 +51,16 @@ class BundleAdjustmentConfig:
     min_singular_value: float = 1e-12
     fix_first_pose: bool = True
     fix_second_translation: bool = True  # monocular gauge (scale) fixing
+    # Soft prior anchoring each pose to its initial value (px-equivalent
+    # residual per unit of parameter change). Monocular window BA has
+    # weakly-observable scale/depth modes: with noisy tracks a reprojection-
+    # only solve can LOWER cost while dragging poses several baselines —
+    # the prior turns BA into a refinement of the tracking chain instead
+    # of an unanchored re-solve (the reference reaches the same end via
+    # its Jacobian-conditioning fallback, ``bundle_adjustment.py:135-158``).
+    # (w=10 calibrated on rendered arcs at noise σ∈{5,10}: w=4 under-
+    # anchors, w≥30 over-damps the useful correction.)
+    pose_prior_weight: float = 10.0
 
 
 @dataclass
@@ -127,13 +137,17 @@ def _ba_core(
         r = pred - obs_uv
         return jnp.where(obs_mask[:, None], r, 0.0)
 
+    prior_w2 = jnp.asarray(config.pose_prior_weight**2, pose_params0.dtype)
+
     def cost_of(pp, pts):
         r = residuals(pp, pts)
         s = jnp.sum(r * r, axis=-1)
         # Huber on squared pixel error.
         d2 = delta * delta
         rho = jnp.where(s <= d2, s, 2.0 * delta * jnp.sqrt(jnp.maximum(s, d2)) - d2)
-        return 0.5 * jnp.sum(jnp.where(obs_mask, rho, 0.0))
+        data = 0.5 * jnp.sum(jnp.where(obs_mask, rho, 0.0))
+        prior = 0.5 * prior_w2 * jnp.sum(pose_free * (pp - pose_params0) ** 2)
+        return data + prior
 
     def lin_single(pp, pts, w, x, uv, m):
         def res_fn(pose_p, point):
@@ -146,7 +160,7 @@ def _ba_core(
         return r, Jp, Jx
 
     def gn_step(carry, _):
-        pp, pts, done = carry
+        pp, pts, lam = carry
         mf = obs_mask.astype(pp.dtype)
         r, Jp, Jx = jax.vmap(lambda w, x, uv, m: lin_single(pp, pts, w, x, uv, m))(
             obs_pose, obs_point, obs_uv, mf
@@ -169,7 +183,11 @@ def _ba_core(
         gp = jax.ops.segment_sum(jnp.einsum("ori,or->oi", Jp_w, r), obs_pose, num_segments=W)
         gx = jax.ops.segment_sum(jnp.einsum("ori,or->oi", Jx_w, r), obs_point, num_segments=P)
 
-        lam = jnp.asarray(config.damping, pp.dtype)
+        # Pose-anchor prior: residual w·(pp − pp0) adds w²I to B and
+        # w²(pp − pp0) to the gradient (see config.pose_prior_weight).
+        B = B + prior_w2 * jnp.eye(6, dtype=pp.dtype)
+        gp = gp + prior_w2 * (pp - pose_params0)
+
         B = B + lam * jnp.eye(6, dtype=pp.dtype)
         C = C + lam * jnp.eye(3, dtype=pp.dtype)
         C_inv = jnp.linalg.inv(C)  # (P, 3, 3)
@@ -196,15 +214,25 @@ def _ba_core(
         new_cost = cost_of(pp_new, pts_new)
         old_cost = cost_of(pp, pts)
         improved = new_cost < old_cost
-        take = improved & ~done
-        pp_next = jnp.where(take, pp_new, pp)
-        pts_next = jnp.where(take, pts_new, pts)
-        done_next = done | ~improved
-        return (pp_next, pts_next, done_next), old_cost
+        # Levenberg-Marquardt trust-region schedule: accept + relax damping
+        # on improvement, reject + stiffen on failure (the rejected
+        # iteration re-linearizes at the same point with 10x damping —
+        # a plain GN latch would park the solve on its first bad step).
+        pp_next = jnp.where(improved, pp_new, pp)
+        pts_next = jnp.where(improved, pts_new, pts)
+        lam_next = jnp.where(
+            improved,
+            jnp.maximum(lam * 0.3, config.damping),
+            jnp.minimum(lam * 10.0, 1e6),
+        )
+        return (pp_next, pts_next, lam_next), old_cost
 
     init_cost = cost_of(pose_params0, points0)
     (pp, pts, _), costs = jax.lax.scan(
-        gn_step, (pose_params0, points0, jnp.asarray(False)), None, length=config.max_iterations
+        gn_step,
+        (pose_params0, points0, jnp.asarray(config.damping, pose_params0.dtype)),
+        None,
+        length=config.max_iterations,
     )
     final_cost = cost_of(pp, pts)
     return pp, pts, init_cost, final_cost, costs
@@ -238,10 +266,18 @@ def run_bundle_adjustment(
         obs_uv[k] = obs.uv
         obs_mask[k] = True
 
+    # Pad points to a power-of-two budget so _ba_core never recompiles on
+    # the (data-dependent) track count. Padded points carry no
+    # observations: their gradient is exactly zero and the Levenberg
+    # damping keeps their C blocks invertible, so they stay put.
+    pbudget = max(64, 1 << (P - 1).bit_length())
+    points_padded = np.zeros((pbudget, 3), np.float32)
+    points_padded[:P] = points
+
     pose_params0 = _pose_params(jnp.asarray(poses, jnp.float32))
     pp, pts, init_cost, final_cost, costs = _ba_core(
         pose_params0,
-        jnp.asarray(points, jnp.float32),
+        jnp.asarray(points_padded),
         jnp.asarray(obs_pose),
         jnp.asarray(obs_point),
         jnp.asarray(obs_uv),
@@ -256,7 +292,7 @@ def run_bundle_adjustment(
     # Conditioning gate (parity: bundle_adjustment.py:135-158): reject the
     # solve when it failed to reduce cost or produced non-finite state.
     refined_poses = np.asarray(_params_to_pose(pp), dtype=np.float64)
-    refined_points = np.asarray(pts, dtype=np.float64)
+    refined_points = np.asarray(pts, dtype=np.float64)[:P]
     tripped = False
     cond = 1.0
     if not np.isfinite(refined_poses).all() or not np.isfinite(refined_points).all():
@@ -301,21 +337,47 @@ class WindowBundleAdjuster:
     chaining pairwise matches + triangulation, then local BA).
     """
 
-    def __init__(self, K: np.ndarray, config: Optional[BundleAdjustmentConfig] = None) -> None:
+    def __init__(
+        self,
+        K: np.ndarray,
+        config: Optional[BundleAdjustmentConfig] = None,
+        max_track_error_px: float = 12.0,
+        max_pose_move_ratio: float = 0.6,
+    ) -> None:
         self.K = np.asarray(K)
         self.config = config or BundleAdjustmentConfig()
+        self.max_track_error_px = float(max_track_error_px)
+        self.max_pose_move_ratio = float(max_pose_move_ratio)
         self.last_diagnostics: Optional[BundleAdjustmentDiagnostics] = None
 
-    def refine_window(self, window) -> Optional[BAResult]:
+    def refine_window(self, window, key=None) -> Optional[BAResult]:
+        import jax
         import jax.numpy as jnp
 
-        from mvslam_tpu.ops.hamming import MatchConfig, match_descriptors, select_matches
+        from mvslam_tpu.geometry.projection import normalize_pixels
+        from mvslam_tpu.ops.hamming import (
+            MatchConfig,
+            gather_matched_points,
+            match_descriptors,
+            select_matches,
+        )
+        from mvslam_tpu.ops.ransac import RansacConfig, ransac_essential
 
         if len(window) < 2:
             return None
+        if key is None:
+            key = jax.random.PRNGKey(0)
         poses = np.stack([kf.pose for kf in window])
-        observations: List[Observation] = []
-        points: List[np.ndarray] = []
+        # Chain pairwise consecutive matches into multi-view tracks
+        # (feature i in kf k matched to j in kf k+1 extends i's track).
+        # Each pair's matches are RANSAC-gated first: ~10-15% of
+        # cross-checked descriptor matches are wrong, and the span
+        # triangulation below cannot see a bad LINK (a two-view fit always
+        # reprojects both of its own views exactly), so ungated chains
+        # poison BA. Parity: the reference chains matches across its
+        # window the same way (``keyframe_manager.py:130-183``).
+        track_obs: List[List[tuple]] = []  # track -> [(kf_idx, feature_idx)]
+        prev_assign: dict = {}
         for k in range(len(window) - 1):
             a, b = window[k], window[k + 1]
             res = match_descriptors(
@@ -325,27 +387,101 @@ class WindowBundleAdjuster:
                 jnp.asarray(b.valid),
                 MatchConfig(cross_check=True),
             )
-            sel = select_matches(res, max_matches=128)
+            sel = select_matches(res, max_matches=192)
+            p1, p2 = gather_matched_points(
+                jnp.asarray(a.keypoints, jnp.float32),
+                jnp.asarray(b.keypoints, jnp.float32),
+                sel,
+            )
+            Kf = jnp.asarray(self.K, jnp.float32)
+            ransac = ransac_essential(
+                jax.random.fold_in(key, k),
+                normalize_pixels(p1, Kf),
+                normalize_pixels(p2, Kf),
+                sel.valid,
+                RansacConfig(num_hypotheses=128, min_inliers=8),
+                threshold=2.0 / float(self.K[0, 0]),
+            )
             valid = np.asarray(sel.valid)
+            if bool(ransac.success):
+                valid = valid & np.asarray(ransac.inliers)
             pairs = np.asarray(sel.pairs)[valid]
-            if len(pairs) < 8:
+            cur_assign: dict = {}
+            for i, j in pairs:
+                tid = prev_assign.get(int(i))
+                if tid is None:
+                    tid = len(track_obs)
+                    track_obs.append([(k, int(i))])
+                track_obs[tid].append((k + 1, int(j)))
+                cur_assign[int(j)] = tid
+            prev_assign = cur_assign
+        # Triangulate each track from its first/last observation (widest
+        # baseline), batched per (first, last) keyframe pair.
+        tracks = [t for t in track_obs if len(t) >= 2]
+        if len(tracks) < 8:
+            return None
+        by_span: dict = {}
+        for tid, t in enumerate(tracks):
+            by_span.setdefault((t[0][0], t[-1][0]), []).append(tid)
+        points = np.zeros((len(tracks), 3))
+        good = np.zeros(len(tracks), dtype=bool)
+        for (ka, kb), tids in by_span.items():
+            uv1 = np.stack([window[ka].keypoints[tracks[t][0][1]] for t in tids])
+            uv2 = np.stack([window[kb].keypoints[tracks[t][-1][1]] for t in tids])
+            X = triangulate_points(poses[ka], poses[kb], uv1, uv2, self.K)
+            ok = np.isfinite(X).all(axis=1) & (np.abs(X) < 1e4).all(axis=1)
+            for row, t in enumerate(tids):
+                points[t] = X[row]
+                good[t] = ok[row]
+        # Reject poisoned tracks: one wrong link in a chain gives that track
+        # a huge residual in some view, and even a Huber loss lets enough of
+        # them bias the solve. Gate each track on its worst initial
+        # reprojection error under the current (unrefined) poses.
+        obs_k = np.asarray([k for tid, t in enumerate(tracks) if good[tid] for k, _ in t])
+        obs_tid = np.asarray([tid for tid, t in enumerate(tracks) if good[tid] for _ in t])
+        obs_uv = np.stack(
+            [window[k].keypoints[f] for tid, t in enumerate(tracks) if good[tid] for k, f in t]
+        ).astype(np.float64)
+        T_cw = np.linalg.inv(poses)  # (W, 4, 4)
+        cam = np.einsum("oij,oj->oi", T_cw[obs_k, :3, :3], points[obs_tid]) + T_cw[obs_k, :3, 3]
+        z = np.where(np.abs(cam[:, 2]) < 1e-9, 1e-9, cam[:, 2])
+        u = self.K[0, 0] * cam[:, 0] / z + self.K[0, 2]
+        v = self.K[1, 1] * cam[:, 1] / z + self.K[1, 2]
+        err = np.hypot(u - obs_uv[:, 0], v - obs_uv[:, 1])
+        err = np.where(cam[:, 2] > 0, err, np.inf)
+        worst = np.zeros(len(tracks))
+        np.maximum.at(worst, obs_tid, err)
+        for tid in np.where(worst > self.max_track_error_px)[0]:
+            good[tid] = False
+
+        observations: List[Observation] = []
+        kept_points: List[np.ndarray] = []
+        remap: dict = {}
+        for tid, t in enumerate(tracks):
+            if not good[tid]:
                 continue
-            uv1 = a.keypoints[pairs[:, 0]]
-            uv2 = b.keypoints[pairs[:, 1]]
-            X = triangulate_points(poses[k], poses[k + 1], uv1, uv2, self.K)
-            # Keep points with positive depth in both cameras and sane range.
-            good = np.isfinite(X).all(axis=1) & (np.abs(X) < 1e4).all(axis=1)
-            for idx in np.where(good)[0]:
-                pt_id = len(points)
-                points.append(X[idx])
-                observations.append(Observation(k, pt_id, uv1[idx].astype(np.float64)))
-                observations.append(Observation(k + 1, pt_id, uv2[idx].astype(np.float64)))
-        if not points:
+            pt_id = remap.setdefault(tid, len(kept_points))
+            if pt_id == len(kept_points):
+                kept_points.append(points[tid])
+            for k, feat in t:
+                observations.append(
+                    Observation(k, pt_id, window[k].keypoints[feat].astype(np.float64))
+                )
+        if len(kept_points) < 8:
             return None
         result = run_bundle_adjustment(
-            poses, np.stack(points), observations, self.K, self.config
+            poses, np.stack(kept_points), observations, self.K, self.config
         )
         self.last_diagnostics = result.diagnostics
+        # Update-magnitude gate: a refinement must stay NEAR the tracking
+        # chain. A pose dragged beyond ~the inter-keyframe spacing means
+        # the solve escaped along a weakly-observable monocular mode
+        # (reprojection cost can still drop) — reject it like a
+        # conditioning trip rather than poison the trajectory.
+        spacing = np.median(np.linalg.norm(np.diff(poses[:, :3, 3], axis=0), axis=1))
+        moves = np.linalg.norm(result.poses[:, :3, 3] - poses[:, :3, 3], axis=1)
+        if moves.max() > self.max_pose_move_ratio * max(spacing, 1e-9):
+            result.diagnostics.conditioning_tripped = True
         if not result.diagnostics.conditioning_tripped:
             for kf, pose in zip(window, result.poses):
                 kf.pose = pose

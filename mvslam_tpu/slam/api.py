@@ -77,8 +77,10 @@ class SLAMSystemConfig:
     # Relocalization
     enable_relocalization: bool = True
     relocalization_min_inliers: int = 20
-    # Local BA over the keyframe window
-    enable_local_ba: bool = False
+    # Local BA over the keyframe window — on by default, matching the
+    # reference where windowed BA is part of keyframing
+    # (``keyframe_manager.py:85-118``).
+    enable_local_ba: bool = True
     persist_map_snapshot: bool = True
 
     def intrinsics(self) -> np.ndarray:
@@ -372,8 +374,34 @@ class SLAMSystem:
     def _on_keyframe_window(self, window: List[Keyframe]) -> None:
         if self._local_ba is None or len(window) < 2:
             return
+        old_poses = [kf.pose.copy() for kf in window]
         with timed_event(self.telemetry, "local_ba", metadata={"window": len(window)}):
-            self._local_ba.refine_window(window)
+            result = self._local_ba.refine_window(
+                window, key=self.registry.key_for("local_ba")
+            )
+        if result is None or result.diagnostics.conditioning_tripped:
+            return
+        # Propagate each keyframe's rigid correction to its span of
+        # already-recorded frames and re-anchor the live pose chain at the
+        # refined head — otherwise window BA improves only the keyframe
+        # poses, never the trajectory estimate. Parity: the reference runs
+        # local BA as part of keyframing (``keyframe_manager.py:85-118``).
+        fid_to_idx = {f: i for i, f in enumerate(self.trajectory.frame_ids)}
+        n_traj = len(self.trajectory.poses)
+        for k, kf in enumerate(window):
+            start = fid_to_idx.get(kf.frame_id)
+            if start is None:
+                continue
+            delta = kf.pose @ np.linalg.inv(old_poses[k])
+            end = (
+                fid_to_idx.get(window[k + 1].frame_id, n_traj)
+                if k + 1 < len(window)
+                else n_traj
+            )
+            for idx in range(start, end):
+                self.trajectory.poses[idx] = delta @ self.trajectory.poses[idx]
+        if n_traj:
+            self._pose = self.trajectory.poses[-1].copy()
 
     # ------------------------------------------------------------------
     # Relocalization (persistent-map path)

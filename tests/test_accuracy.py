@@ -9,6 +9,8 @@ monocular-scale-free) trajectory must match ground truth.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full SLAM runs over rendered scenes
+
 from mvslam_tpu.backend.keyframes import KeyframeConfig
 from mvslam_tpu.eval.trajectory import compute_additional_metrics
 from mvslam_tpu.frontend.feature_pipeline import FeaturePipelineConfig
@@ -22,31 +24,62 @@ def yaw_matrix(yaw: float) -> np.ndarray:
 
 
 def render_scene(num_frames=10, h=240, w=320, seed=0, traj_fn=None, planar=False,
-                 n_pts=250, noise=0.0):
-    """Splat-render a 3-D textured-patch field from a moving camera.
+                 n_pts=250, noise=0.0, depth_range=(4.0, 12.0)):
+    """Perspective-render a field of textured planar quads from a moving camera.
 
-    Each 3-D point carries a FIXED random texture patch (unique appearance
-    → unambiguous descriptors, stable across frames) on a black background
-    (no spurious stationary corners). Wide depth range gives strong
-    parallax, so the ±0.5 px integer-splat quantisation stays far below
-    the depth-dependent disparity signal.
+    Each 3-D point carries a FIXED random texture on a small world-space
+    planar quad (normal facing the cameras), rendered by projecting the quad
+    corners and inverse-warping the texture through the induced homography
+    with bilinear sampling. Every texture corner is therefore a TRUE fixed
+    3-D point: multi-view geometry (tracks, BA, wide-baseline loops) is
+    exactly consistent, and patches rotate/scale correctly with the view —
+    unlike an axis-aligned splat, which quantises positions and breaks
+    multi-view consistency at wide baselines.
 
     ``traj_fn(i) -> (R_wc, t_w)`` gives the world-from-camera pose per
     frame (default: pure translation, R = I).  ``planar=True`` puts every
     point on the z = 8 world plane (homography-degenerate geometry).
-    Returns (frames, gt_poses (N,4,4) world-from-camera, intrinsics).
+    Returns (frames, gt_positions (N,3), intrinsics, gt_poses (N,4,4)).
     """
     rng = np.random.default_rng(seed)
     fx = fy = 350.0
     cx, cy = w / 2, h / 2
     xs = rng.uniform(-3, 10, n_pts)
     ys = rng.uniform(-3, 3, n_pts)
-    depth = np.full(n_pts, 8.0) if planar else rng.uniform(4.0, 12.0, n_pts)
+    depth = np.full(n_pts, 8.0) if planar else rng.uniform(*depth_range, n_pts)
     pts3d = np.stack([xs, ys, depth], axis=1)
     if traj_fn is None:
         traj_fn = lambda i: (np.eye(3), np.array([0.2 * i, 0.0, 0.04 * i]))
-    patch_size = 7
-    patches = rng.uniform(40, 255, size=(n_pts, patch_size, patch_size)).astype(np.float32)
+    # Texture span must dominate the 31px BRIEF patch: at 7px quads the
+    # descriptor is mostly black background whose parallax shimmer breaks
+    # matching (~30% gt-correct matches); at 25px it reaches ~69%.
+    patch_size = 25
+    tex = rng.uniform(40, 255, size=(n_pts, patch_size, patch_size)).astype(np.float32)
+    # World-space quad half-size: appears ~patch_size px at the point's
+    # initial depth, then scales naturally with perspective.
+    half_side = 0.5 * patch_size * depth / fx  # (n_pts,)
+    # Quad corners in world space: point + half_side * (±x̂ ± ŷ).
+    corner_signs = np.array([[-1, -1], [1, -1], [1, 1], [-1, 1]], dtype=np.float64)
+    # Texture coords of those corners (u_tex, v_tex) in [0, P-1].
+    tex_corners = np.array(
+        [[0, 0], [patch_size - 1, 0], [patch_size - 1, patch_size - 1], [0, patch_size - 1]],
+        dtype=np.float64,
+    )
+
+    def homography_from_4pts(src, dst):
+        """Exact 4-point homography src→dst via an 8x8 DLT solve."""
+        A = np.zeros((8, 8))
+        b = np.zeros(8)
+        for r, ((sx, sy), (dx, dy)) in enumerate(zip(src, dst)):
+            A[2 * r] = [sx, sy, 1, 0, 0, 0, -dx * sx, -dx * sy]
+            A[2 * r + 1] = [0, 0, 0, sx, sy, 1, -dy * sx, -dy * sy]
+            b[2 * r] = dx
+            b[2 * r + 1] = dy
+        hvec = np.linalg.solve(A, b)
+        return np.array(
+            [[hvec[0], hvec[1], hvec[2]], [hvec[3], hvec[4], hvec[5]], [hvec[6], hvec[7], 1.0]]
+        )
+
     gt_poses = []
     frames = []
     for i in range(num_frames):
@@ -55,18 +88,57 @@ def render_scene(num_frames=10, h=240, w=320, seed=0, traj_fn=None, planar=False
         pose[:3, :3] = R
         pose[:3, 3] = t
         gt_poses.append(pose)
-        cam = (pts3d - t) @ R  # camera coords: R_wc^T (p - t)
+        cam_centers = (pts3d - t) @ R
         img = np.zeros((h, w), dtype=np.float32)
-        z = cam[:, 2]
-        u = fx * cam[:, 0] / np.where(z > 0, z, 1.0) + cx
-        v = fy * cam[:, 1] / np.where(z > 0, z, 1.0) + cy
-        order = np.argsort(-z)  # far first so near splats overwrite
+        order = np.argsort(-cam_centers[:, 2])  # far first, near overwrites
         for k in order:
-            if z[k] < 1.5:
+            if cam_centers[k, 2] < 1.5:
                 continue
-            ui, vi = int(round(u[k])), int(round(v[k]))
-            if 0 <= ui < w - patch_size and 0 <= vi < h - patch_size:
-                img[vi : vi + patch_size, ui : ui + patch_size] = patches[k]
+            quad_world = pts3d[k] + np.concatenate(
+                [half_side[k] * corner_signs, np.zeros((4, 1))], axis=1
+            )
+            quad_cam = (quad_world - t) @ R
+            if quad_cam[:, 2].min() < 0.5:
+                continue
+            quad_px = np.stack(
+                [
+                    fx * quad_cam[:, 0] / quad_cam[:, 2] + cx,
+                    fy * quad_cam[:, 1] / quad_cam[:, 2] + cy,
+                ],
+                axis=1,
+            )
+            x0 = int(np.floor(quad_px[:, 0].min()))
+            x1 = int(np.ceil(quad_px[:, 0].max())) + 1
+            y0 = int(np.floor(quad_px[:, 1].min()))
+            y1 = int(np.ceil(quad_px[:, 1].max())) + 1
+            x0c, x1c = max(x0, 0), min(x1, w)
+            y0c, y1c = max(y0, 0), min(y1, h)
+            if x0c >= x1c or y0c >= y1c:
+                continue
+            H_img_to_tex = homography_from_4pts(quad_px, tex_corners)
+            gy, gx = np.mgrid[y0c:y1c, x0c:x1c]
+            ones = np.ones_like(gx, dtype=np.float64)
+            mapped = np.einsum(
+                "ij,jyx->iyx", H_img_to_tex, np.stack([gx, gy, ones])
+            )
+            tu = mapped[0] / mapped[2]
+            tv = mapped[1] / mapped[2]
+            inside = (tu >= 0) & (tu <= patch_size - 1) & (tv >= 0) & (tv <= patch_size - 1)
+            if not inside.any():
+                continue
+            tu = np.clip(tu, 0, patch_size - 1 - 1e-9)
+            tv = np.clip(tv, 0, patch_size - 1 - 1e-9)
+            iu, iv = tu.astype(int), tv.astype(int)
+            au, av = tu - iu, tv - iv
+            T = tex[k]
+            sample = (
+                T[iv, iu] * (1 - au) * (1 - av)
+                + T[iv, np.minimum(iu + 1, patch_size - 1)] * au * (1 - av)
+                + T[np.minimum(iv + 1, patch_size - 1), iu] * (1 - au) * av
+                + T[np.minimum(iv + 1, patch_size - 1), np.minimum(iu + 1, patch_size - 1)] * au * av
+            )
+            region = img[y0c:y1c, x0c:x1c]
+            img[y0c:y1c, x0c:x1c] = np.where(inside, sample, region)
         if noise > 0:
             img = np.clip(img + rng.normal(0.0, noise, size=img.shape), 0, 255)
         frames.append(img.astype(np.float32))
@@ -97,8 +169,7 @@ class TestEndToEndAccuracy:
         ]
         est = np.stack(system.trajectory.poses)[:, :3, 3]
         metrics = compute_additional_metrics(est, gt)
-        # Sim3-aligned ATE under 8% of the trajectory extent (the renderer's
-        # integer splats bound achievable accuracy to ~0.5 px).
+        # Sim3-aligned ATE under 8% of the trajectory extent.
         extent = np.linalg.norm(gt[-1] - gt[0])
         assert metrics["ATE_RMSE"] < 0.08 * extent, metrics
         # Direction of travel is consistent frame over frame.
@@ -107,8 +178,11 @@ class TestEndToEndAccuracy:
         assert good_dirs > 0.7
 
     def test_matching_quality_on_3d_scene(self, tmp_path):
-        """Unique-texture splats must match near-perfectly with high inlier
-        counts (the matching layer, isolated from pose-model selection)."""
+        """Unique-texture quads must match with high inlier counts (the
+        matching layer, isolated from pose-model selection). Thresholds
+        are calibrated to the perspective renderer: quads rotate/scale
+        with the view, so BRIEF survival is lower than on axis-aligned
+        splats but must stay well above RANSAC's needs."""
         frames, gt, (fx, fy, cx, cy), _ = render_scene(seed=5)
         system = SLAMSystem(
             SLAMSystemConfig(
@@ -124,7 +198,7 @@ class TestEndToEndAccuracy:
         tracked = [d for d in diags[1:] if d.pose_success]
         assert len(tracked) >= 7, [(d.frame_id, d.failure_reason) for d in diags]
         assert np.mean([d.num_matches for d in tracked]) > 150
-        assert np.mean([d.num_inliers for d in tracked]) > 100
+        assert np.mean([d.num_inliers for d in tracked]) > 65
         assert np.mean([d.cheirality_ratio for d in tracked]) > 0.9
 
 
@@ -209,11 +283,11 @@ class TestDualModelSelection:
         """Strong-parallax full-depth-range scene: the essential branch
         must win. (At small baselines the scene is legitimately in the
         low-parallax regime where H on the dominant plane can be the more
-        accurate model — the wider 0.3/frame baseline makes the 3-D
-        structure decisive.)"""
+        accurate model — the wider 0.3/frame baseline and the 6:1 depth
+        range make the 3-D structure decisive.)"""
         frames, _, (fx, fy, cx, cy), _ = render_scene(
             traj_fn=lambda i: (np.eye(3), np.array([0.3 * i, 0.0, 0.06 * i])),
-            seed=11,
+            seed=11, depth_range=(3.0, 18.0),
         )
         system = SLAMSystem(
             SLAMSystemConfig(
@@ -281,6 +355,45 @@ class TestLoopClosureAccuracy:
         assert on["metrics"]["ATE_RMSE"] < off["metrics"]["ATE_RMSE"], (
             on["metrics"], off["metrics"],
         )
+
+
+class TestLocalBAAccuracy:
+    def test_local_ba_reduces_ate(self, tmp_path):
+        """Window BA (default-on, parity ``keyframe_manager.py:85-118``)
+        must measurably improve the trajectory on a noisy sequence: the
+        same run with ``enable_local_ba=False`` must NOT beat the default.
+        Noise makes pairwise poses carry error that multi-view BA can
+        remove; the aggressive keyframe threshold makes every frame a
+        keyframe so BA touches the whole trajectory."""
+
+        def arc(i):
+            return yaw_matrix(0.02 * i), np.array([0.25 * i, 0.0, 0.05 * i])
+
+        frames, gt_pos, (fx, fy, cx, cy), _ = render_scene(
+            num_frames=14, traj_fn=arc, noise=5.0, seed=11
+        )
+
+        def run_ate(ba: bool) -> float:
+            system = SLAMSystem(
+                SLAMSystemConfig(
+                    run_id=f"ba_{int(ba)}", output_root=tmp_path, seed=3,
+                    fx=fx, fy=fy, cx=cx, cy=cy,
+                    feature=FeaturePipelineConfig(num_features=512, max_matches=256),
+                    pose=RobustPoseEstimatorConfig(
+                        num_hypotheses=256, adaptive_threshold=False,
+                        essential_threshold_px=2.0,
+                    ),
+                    keyframe=KeyframeConfig(min_translation=0.05),
+                    enable_local_ba=ba,
+                )
+            )
+            system.run_sequence(frames)
+            est = np.stack(system.trajectory.poses)[:, :3, 3]
+            return compute_additional_metrics(est, gt_pos)["ATE_RMSE"]
+
+        ate_off = run_ate(False)
+        ate_on = run_ate(True)
+        assert ate_on < ate_off, (ate_on, ate_off)
 
 
 class TestVsReferencePipeline:
