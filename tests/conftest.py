@@ -10,7 +10,16 @@ from pathlib import Path
 
 # The axon kernel env presets JAX_PLATFORMS=axon — override, don't setdefault.
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["MVSLAM_JAX_CACHE_DIR"] = ""  # XLA:CPU AOT cache mismatches across machines
+# Persistent compile cache in a MACHINE-LOCAL dir (/tmp never travels
+# between machines, so the XLA:CPU AOT cross-host mismatch that ruled out
+# the ~/.cache default cannot occur) — cuts repeat suite runs from ~20 min
+# of compiles to seconds.
+os.environ.setdefault("MVSLAM_JAX_CACHE_DIR", "/tmp/mvslam_jax_cache_cpu")
+# Note: XLA:CPU logs a spurious ERROR per AOT cache hit ("prefer-no-gather
+# is not supported on the host machine") — those pseudo-features are
+# recorded in the AOT signature but never in host detection. Same-machine
+# loads are safe; the noise cannot be silenced here because jaxlib is
+# already loaded by sitecustomize before conftest runs.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
