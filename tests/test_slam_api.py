@@ -6,6 +6,8 @@ import json
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full SLAM runs over rendered scenes
+
 from mvslam_tpu.backend.keyframes import KeyframeConfig, KeyframeManager
 from mvslam_tpu.frontend.feature_pipeline import FeaturePipelineConfig
 from mvslam_tpu.frontend.pose_estimator import RobustPoseEstimatorConfig
