@@ -31,3 +31,4 @@ import jax  # noqa: E402
 # jax is pre-imported by the axon sitecustomize before conftest runs, so the
 # env var alone isn't authoritative; the config flag is read at backend init.
 jax.config.update("jax_platforms", "cpu")
+
