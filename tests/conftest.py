@@ -32,3 +32,23 @@ import jax  # noqa: E402
 # env var alone isn't authoritative; the config flag is read at backend init.
 jax.config.update("jax_platforms", "cpu")
 
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_jax_executables_between_modules():
+    """Free live compiled executables at each module boundary.
+
+    A long single-process suite accumulates hundreds of resident XLA:CPU
+    executables (~10 GB RSS) and then intermittently dies (SIGSEGV/SIGABRT)
+    inside the runtime while executing large programs — observed at 4
+    unrelated call sites across runs on this jaxlib. Dropping the in-memory
+    jit caches between modules keeps the executable population small; the
+    persistent compile cache (above) makes any re-trace cheap.
+    """
+    yield
+    jax.clear_caches()
+    gc.collect()
