@@ -171,6 +171,43 @@ def main(batch: int = 8) -> None:
             final_cost=round(float(res.final_cost), 6),
         )
 
+    # Observation-sharded window bundle adjustment (Schur-GN).
+    from mvslam_tpu.backend.bundle_adjustment import (
+        BundleAdjustmentConfig,
+        Observation,
+    )
+    from mvslam_tpu.parallel.mesh import run_bundle_adjustment_sharded
+
+    rng = np.random.default_rng(11)
+    W_ba, P_ba = 6, 160
+    pts3d = np.stack(
+        [rng.uniform(-3, 3, P_ba), rng.uniform(-2, 2, P_ba), rng.uniform(6, 14, P_ba)], 1
+    )
+    K_ba = np.array([[400.0, 0, 160], [0, 400.0, 120], [0, 0, 1]])
+    poses_ba = np.stack([np.eye(4) for _ in range(W_ba)])
+    observations = []
+    for wi in range(W_ba):
+        poses_ba[wi][:3, 3] = [0.5 * wi, 0.0, 0.0]
+        cam = pts3d - poses_ba[wi][:3, 3]
+        uv = (cam[:, :2] / cam[:, 2:]) * 400.0 + [160, 120]
+        uv += rng.normal(0, 0.5, size=uv.shape)
+        for pi in range(P_ba):
+            observations.append(Observation(wi, pi, uv[pi]))
+    cfg_ba = BundleAdjustmentConfig(max_iterations=8)
+    for n in sizes:
+        mesh = make_mesh(n)
+        run_bundle_adjustment_sharded(mesh, poses_ba, pts3d, observations, K_ba, cfg_ba)
+        start = time.perf_counter()
+        ba = run_bundle_adjustment_sharded(mesh, poses_ba, pts3d, observations, K_ba, cfg_ba)
+        elapsed = time.perf_counter() - start
+        emit(
+            f"sharded_window_ba_mesh{n}",
+            len(observations) * cfg_ba.max_iterations / max(elapsed, 1e-12),
+            "obs_linearizations/s",
+            mesh_devices=n,
+            final_cost=round(float(ba.diagnostics.final_cost), 4),
+        )
+
 
 if __name__ == "__main__":
     main()

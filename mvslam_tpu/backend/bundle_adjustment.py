@@ -245,8 +245,18 @@ def run_bundle_adjustment(
     K: np.ndarray,
     config: Optional[BundleAdjustmentConfig] = None,
     max_observations: Optional[int] = None,
+    observation_sharding=None,
 ) -> BAResult:
-    """Refine window poses + points. Parity: ``bundle_adjustment.py:83-170``."""
+    """Refine window poses + points. Parity: ``bundle_adjustment.py:83-170``.
+
+    ``observation_sharding``: optional ``NamedSharding`` over a 1-D mesh
+    axis. When given, the padded observation arrays are placed with it and
+    everything else replicated, so the SPMD partitioner shards the vmapped
+    per-observation linearization (the dominant cost) across chips and
+    accumulates the normal equations (``segment_sum`` → ``psum``) over ICI.
+    Same jaxpr as the unsharded solve — see
+    :func:`mvslam_tpu.parallel.mesh.run_bundle_adjustment_sharded`.
+    """
     config = config or BundleAdjustmentConfig()
     W = poses.shape[0]
     P = points.shape[0]
@@ -274,15 +284,29 @@ def run_bundle_adjustment(
     points_padded = np.zeros((pbudget, 3), np.float32)
     points_padded[:P] = points
 
-    pose_params0 = _pose_params(jnp.asarray(poses, jnp.float32))
+    if observation_sharding is not None:
+        n_shards = observation_sharding.mesh.size
+        if budget % n_shards:
+            raise ValueError(
+                f"observation budget ({budget}) must divide by mesh size {n_shards}"
+            )
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        replicated = NamedSharding(observation_sharding.mesh, PartitionSpec())
+        put_obs = lambda a: jax.device_put(a, observation_sharding)  # noqa: E731
+        put_rep = lambda a: jax.device_put(a, replicated)  # noqa: E731
+    else:
+        put_obs = put_rep = jnp.asarray
+
+    pose_params0 = put_rep(np.asarray(_pose_params(jnp.asarray(poses, jnp.float32))))
     pp, pts, init_cost, final_cost, costs = _ba_core(
         pose_params0,
-        jnp.asarray(points_padded),
-        jnp.asarray(obs_pose),
-        jnp.asarray(obs_point),
-        jnp.asarray(obs_uv),
-        jnp.asarray(obs_mask),
-        jnp.asarray(K, jnp.float32),
+        put_rep(points_padded),
+        put_obs(obs_pose),
+        put_obs(obs_point),
+        put_obs(obs_uv),
+        put_obs(obs_mask),
+        put_rep(np.asarray(K, np.float32)),
         config,
         W,
     )

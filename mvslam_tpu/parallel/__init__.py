@@ -3,6 +3,7 @@
 from mvslam_tpu.parallel.mesh import (
     make_mesh,
     batched_track_pairs,
+    run_bundle_adjustment_sharded,
     sharded_ransac_essential,
     solve_problem_sharded,
     track_superwindow_meshed,
@@ -11,6 +12,7 @@ from mvslam_tpu.parallel.mesh import (
 __all__ = [
     "make_mesh",
     "batched_track_pairs",
+    "run_bundle_adjustment_sharded",
     "sharded_ransac_essential",
     "solve_problem_sharded",
     "track_superwindow_meshed",

@@ -170,6 +170,48 @@ def track_superwindow_meshed(
     )
 
 
+def run_bundle_adjustment_sharded(
+    mesh: Mesh,
+    poses,
+    points,
+    observations,
+    K,
+    config=None,
+    max_observations: Optional[int] = None,
+):
+    """Windowed BA with the observation axis sharded over ICI.
+
+    The hot part of each Schur-GN iteration — the vmapped ``jacfwd``
+    linearization of every reprojection residual and the ``segment_sum``
+    assembly of the block Hessians B/C/E and gradients
+    (``backend.bundle_adjustment._ba_core``) — is data-parallel over
+    observations: each chip linearizes its observation shard and the
+    scatter-accumulations become ``psum``s over ICI inserted by the SPMD
+    partitioner. The Schur-reduced 6W×6W pose solve and 3×3 point
+    back-substitutions run replicated (tiny). Same jaxpr as the
+    single-device :func:`~mvslam_tpu.backend.bundle_adjustment.run_bundle_adjustment`
+    (only input shardings differ), so results match to float tolerance
+    (cross-chip accumulation may reorder sums) and are run-to-run
+    deterministic for a fixed mesh. Ref contract: ``bundle_adjustment.py:83-170``.
+
+    The observation budget is padded to a power of two (≥64), so any
+    power-of-two mesh divides it; pass ``max_observations`` as a multiple
+    of the mesh size for other mesh shapes.
+    """
+    from mvslam_tpu.backend.bundle_adjustment import run_bundle_adjustment
+
+    axis = mesh.axis_names[0]
+    return run_bundle_adjustment(
+        poses,
+        points,
+        observations,
+        K,
+        config,
+        max_observations=max_observations,
+        observation_sharding=NamedSharding(mesh, P(axis)),
+    )
+
+
 def solve_problem_sharded(mesh: Mesh, problem, config=None):
     """Pose-graph Gauss-Newton with the factor (edge) axis sharded over ICI.
 

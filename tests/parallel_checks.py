@@ -184,6 +184,58 @@ class TestMeshedSuperwindow:
             track_superwindow_meshed(mesh, jax.random.key(0), prev, frames, K, fc, pc, window=12)
 
 
+class TestShardedBundleAdjustment:
+    def test_sharded_ba_matches_single_device(self):
+        from test_bundle_adjustment import synthetic_ba_problem
+
+        from mvslam_tpu.backend.bundle_adjustment import (
+            BundleAdjustmentConfig,
+            run_bundle_adjustment,
+        )
+        from mvslam_tpu.parallel.mesh import run_bundle_adjustment_sharded
+
+        poses_true, poses_init, _, pts_init, obs, K = synthetic_ba_problem(W=4, P=48)
+        cfg = BundleAdjustmentConfig(max_iterations=8)
+        ref = run_bundle_adjustment(poses_init, pts_init, obs, K, cfg)
+        assert not ref.diagnostics.conditioning_tripped
+        for n_dev in (1, 8):
+            mesh = make_mesh(n_dev)
+            res = run_bundle_adjustment_sharded(mesh, poses_init, pts_init, obs, K, cfg)
+            # Observation-sharded accumulation reorders float sums →
+            # tolerance, not bit equality (documented in the wrapper).
+            np.testing.assert_allclose(res.poses, ref.poses, atol=1e-4)
+            np.testing.assert_allclose(res.points, ref.points, atol=1e-3)
+            assert abs(res.diagnostics.final_cost - ref.diagnostics.final_cost) < 1e-2 * max(
+                1.0, ref.diagnostics.final_cost
+            )
+
+    def test_sharded_ba_run_to_run_deterministic(self):
+        from test_bundle_adjustment import synthetic_ba_problem
+
+        from mvslam_tpu.backend.bundle_adjustment import BundleAdjustmentConfig
+        from mvslam_tpu.parallel.mesh import run_bundle_adjustment_sharded
+
+        _, poses_init, _, pts_init, obs, K = synthetic_ba_problem(W=3, P=32, seed=5)
+        mesh = make_mesh(8)
+        cfg = BundleAdjustmentConfig(max_iterations=6)
+        a = run_bundle_adjustment_sharded(mesh, poses_init, pts_init, obs, K, cfg)
+        b = run_bundle_adjustment_sharded(mesh, poses_init, pts_init, obs, K, cfg)
+        np.testing.assert_array_equal(a.poses, b.poses)
+        np.testing.assert_array_equal(a.points, b.points)
+
+    def test_budget_must_divide(self):
+        from test_bundle_adjustment import synthetic_ba_problem
+
+        from mvslam_tpu.parallel.mesh import run_bundle_adjustment_sharded
+
+        _, poses_init, _, pts_init, obs, K = synthetic_ba_problem(W=3, P=32)
+        mesh = make_mesh(8)
+        with pytest.raises(ValueError, match="divide"):
+            run_bundle_adjustment_sharded(
+                mesh, poses_init, pts_init, obs, K, max_observations=100
+            )
+
+
 class TestShardedSolver:
     def _problem(self, n_nodes=32):
         """Noisy SE(3) odometry chain → GraphProblem."""
