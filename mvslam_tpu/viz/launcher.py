@@ -60,15 +60,16 @@ def launch_gui(args) -> int:
     from mvslam_tpu.viz.viewer import SlamViewer
 
     system, seq = _build_system(args)
-    viewer = SlamViewer(interactive=not args.headless)
+    viewer = SlamViewer(interactive=not args.headless, total_frames=args.max_frames)
     for packet in seq.iter_frames(args.max_frames):
-        system.process_frame(packet.frame, packet.timestamp)
+        diag = system.process_frame(packet.frame, packet.timestamp)
         feats = system._prev_features
         viewer.update(
             packet.frame,
             None if feats is None else feats.xy,
             system.pose,
             None if feats is None else feats.valid,
+            diagnostics=diag,
         )
     system.finalize_run()
     if args.headless and args.screenshot:

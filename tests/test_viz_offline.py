@@ -84,6 +84,45 @@ class TestViewer:
         assert yaw == pytest.approx(np.degrees(0.3), abs=0.1)
         assert abs(roll) < 0.1 and abs(pitch) < 0.1
 
+    def test_status_classification(self):
+        from mvslam_tpu.viz.viewer import classify_status
+
+        # Thresholds parity: reference slam_viewer.py:240-252.
+        assert classify_status(10, 0.9)[0] == "Low match density"
+        assert classify_status(100, 0.1)[0] == "Tracking lost"
+        assert classify_status(100, 0.3)[0] == "Unstable pose"
+        assert classify_status(100, 0.8)[0] == "Tracking stable"
+
+    def test_headless_update_with_matches_and_status(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("MPLBACKEND", "Agg")
+        from mvslam_tpu.slam.api import FrameDiagnostics
+        from mvslam_tpu.viz.viewer import SlamViewer
+
+        rng = np.random.default_rng(0)
+        viewer = SlamViewer(interactive=False, total_frames=3)
+        frame = rng.uniform(0, 255, size=(96, 128)).astype(np.float32)
+        kp = rng.uniform(0, 90, size=(50, 2)).astype(np.float32)
+        for i in range(3):
+            pose = np.eye(4)
+            pose[0, 3] = float(i)
+            diag = FrameDiagnostics(
+                frame_id=i, timestamp=0.1 * i, num_features=50,
+                num_matches=48, num_inliers=40, inlier_ratio=0.83,
+            )
+            viewer.update(
+                frame,
+                kp,
+                pose,
+                matches=(kp, kp + 2.0, np.arange(50) % 5 != 0),
+                diagnostics=diag,
+            )
+        assert viewer.last_status == "Tracking stable"
+        assert len(viewer.status_log) == 3
+        assert "48 matches" in viewer.status_log[-1]
+        out = tmp_path / "viewer.png"
+        viewer.render_frame_png(out)
+        assert out.exists() and out.stat().st_size > 1000
+
 
 class TestDashboard:
     def test_frame_status_json(self):
