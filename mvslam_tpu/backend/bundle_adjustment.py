@@ -160,7 +160,7 @@ def _ba_core(
         return r, Jp, Jx
 
     def gn_step(carry, _):
-        pp, pts, lam = carry
+        pp, pts, lam, old_cost = carry
         mf = obs_mask.astype(pp.dtype)
         r, Jp, Jx = jax.vmap(lambda w, x, uv, m: lin_single(pp, pts, w, x, uv, m))(
             obs_pose, obs_point, obs_uv, mf
@@ -211,8 +211,10 @@ def _ba_core(
 
         pp_new = pp + dp
         pts_new = pts + dx
+        # The current state's cost rides in the carry (it is the previous
+        # iteration's accepted cost) — only the CANDIDATE costs a fresh
+        # residual pass.
         new_cost = cost_of(pp_new, pts_new)
-        old_cost = cost_of(pp, pts)
         improved = new_cost < old_cost
         # Levenberg-Marquardt trust-region schedule: accept + relax damping
         # on improvement, reject + stiffen on failure (the rejected
@@ -225,16 +227,16 @@ def _ba_core(
             jnp.maximum(lam * 0.3, config.damping),
             jnp.minimum(lam * 10.0, 1e6),
         )
-        return (pp_next, pts_next, lam_next), old_cost
+        cost_next = jnp.where(improved, new_cost, old_cost)
+        return (pp_next, pts_next, lam_next, cost_next), old_cost
 
     init_cost = cost_of(pose_params0, points0)
-    (pp, pts, _), costs = jax.lax.scan(
+    (pp, pts, _, final_cost), costs = jax.lax.scan(
         gn_step,
-        (pose_params0, points0, jnp.asarray(config.damping, pose_params0.dtype)),
+        (pose_params0, points0, jnp.asarray(config.damping, pose_params0.dtype), init_cost),
         None,
         length=config.max_iterations,
     )
-    final_cost = cost_of(pp, pts)
     return pp, pts, init_cost, final_cost, costs
 
 
@@ -373,6 +375,13 @@ class WindowBundleAdjuster:
         self.max_track_error_px = float(max_track_error_px)
         self.max_pose_move_ratio = float(max_pose_move_ratio)
         self.last_diagnostics: Optional[BundleAdjustmentDiagnostics] = None
+        # RANSAC-gated match pairs per (frame_id_a, frame_id_b): a sliding
+        # window of W keyframes shares W-2 consecutive pairs with the
+        # previous refine_window call, so re-matching them would cost ~4x
+        # the necessary device work on the default local-BA hot path.
+        # Matching depends only on the two keyframes' features (not their
+        # poses), so entries never go stale; bounded by window size.
+        self._pair_cache: dict = {}
 
     def refine_window(self, window, key=None) -> Optional[BAResult]:
         import jax
@@ -404,32 +413,45 @@ class WindowBundleAdjuster:
         prev_assign: dict = {}
         for k in range(len(window) - 1):
             a, b = window[k], window[k + 1]
-            res = match_descriptors(
-                jnp.asarray(a.descriptors),
-                jnp.asarray(a.valid),
-                jnp.asarray(b.descriptors),
-                jnp.asarray(b.valid),
-                MatchConfig(cross_check=True),
-            )
-            sel = select_matches(res, max_matches=192)
-            p1, p2 = gather_matched_points(
-                jnp.asarray(a.keypoints, jnp.float32),
-                jnp.asarray(b.keypoints, jnp.float32),
-                sel,
-            )
-            Kf = jnp.asarray(self.K, jnp.float32)
-            ransac = ransac_essential(
-                jax.random.fold_in(key, k),
-                normalize_pixels(p1, Kf),
-                normalize_pixels(p2, Kf),
-                sel.valid,
-                RansacConfig(num_hypotheses=128, min_inliers=8),
-                threshold=2.0 / float(self.K[0, 0]),
-            )
-            valid = np.asarray(sel.valid)
-            if bool(ransac.success):
-                valid = valid & np.asarray(ransac.inliers)
-            pairs = np.asarray(sel.pairs)[valid]
+            # A sliding window shares W-2 consecutive pairs with the
+            # previous refine_window call — serve those from the pair
+            # cache instead of re-running match+RANSAC device programs.
+            # The RANSAC key folds the pair's FRAME ids (not the window
+            # position), so a pair's gated matches are a deterministic
+            # function of the pair alone and cache hits are exact replays.
+            cache_key = (a.frame_id, b.frame_id)
+            pairs = self._pair_cache.get(cache_key)
+            if pairs is None:
+                res = match_descriptors(
+                    jnp.asarray(a.descriptors),
+                    jnp.asarray(a.valid),
+                    jnp.asarray(b.descriptors),
+                    jnp.asarray(b.valid),
+                    MatchConfig(cross_check=True),
+                )
+                sel = select_matches(res, max_matches=192)
+                p1, p2 = gather_matched_points(
+                    jnp.asarray(a.keypoints, jnp.float32),
+                    jnp.asarray(b.keypoints, jnp.float32),
+                    sel,
+                )
+                Kf = jnp.asarray(self.K, jnp.float32)
+                ransac = ransac_essential(
+                    jax.random.fold_in(jax.random.fold_in(key, a.frame_id), b.frame_id),
+                    normalize_pixels(p1, Kf),
+                    normalize_pixels(p2, Kf),
+                    sel.valid,
+                    RansacConfig(num_hypotheses=128, min_inliers=8),
+                    threshold=2.0 / float(self.K[0, 0]),
+                )
+                valid = np.asarray(sel.valid)
+                if bool(ransac.success):
+                    valid = valid & np.asarray(ransac.inliers)
+                pairs = np.asarray(sel.pairs)[valid]
+                self._pair_cache[cache_key] = pairs
+                # Keep only pairs that can recur in a sliding window.
+                if len(self._pair_cache) > 4 * max(len(window), 2):
+                    self._pair_cache.pop(next(iter(self._pair_cache)))
             cur_assign: dict = {}
             for i, j in pairs:
                 tid = prev_assign.get(int(i))
@@ -457,6 +479,10 @@ class WindowBundleAdjuster:
             for row, t in enumerate(tids):
                 points[t] = X[row]
                 good[t] = ok[row]
+        if not good.any():
+            # Degenerate window (near-zero baseline / garbage poses): every
+            # triangulation failed the sanity gate. Nothing to refine.
+            return None
         # Reject poisoned tracks: one wrong link in a chain gives that track
         # a huge residual in some view, and even a Huber loss lets enough of
         # them bias the solve. Gate each track on its worst initial

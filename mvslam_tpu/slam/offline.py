@@ -185,7 +185,7 @@ def _match_pair_essential(system, kf_a, kf_b, min_inliers: int, salt: int):
     return sel, ransac, n1, n2
 
 
-def _loop_scale_from_structure(system, kf_a, kf_a_next, loop_sel, loop_depths):
+def _loop_scale_from_structure(system, kf_a, kf_a_next, loop_sel, loop_depths, loop_inliers=None):
     """Sim3-style loop-edge scale via structure transfer.
 
     Triangulates kf_a's features twice — against its odometry-chain
@@ -221,6 +221,11 @@ def _loop_scale_from_structure(system, kf_a, kf_a_next, loop_sel, loop_depths):
 
     idx_loop = np.asarray(loop_sel.pairs[:, 0])
     ok_loop = np.asarray(loop_sel.valid) & (loop_depths > 1e-6)
+    if loop_inliers is not None:
+        # Outlier correspondences still triangulate to arbitrary finite
+        # positive depths under the loop (R, t); without the RANSAC
+        # inlier gate their bogus ratios enter the scale median.
+        ok_loop &= np.asarray(loop_inliers, bool)
 
     depth_by_feature = {
         int(f): z_chain[i] for i, f in enumerate(idx_chain) if ok_chain[i]
@@ -268,7 +273,9 @@ def _verify_loop(system, kf_a, kf_b, config: SLAMRunConfig, kf_a_next=None):
     chain_dist = float(np.linalg.norm(kf_b.pose[:3, 3] - kf_a.pose[:3, 3]))
     scale = None
     if kf_a_next is not None:
-        scale = _loop_scale_from_structure(system, kf_a, kf_a_next, sel, X_loop[:, 2])
+        scale = _loop_scale_from_structure(
+            system, kf_a, kf_a_next, sel, X_loop[:, 2], np.asarray(ransac.inliers)
+        )
     if scale is None:
         scale = max(chain_dist, 1e-6) if chain_dist < 1.0 else 1.0
     else:

@@ -107,7 +107,7 @@ class TrackResult(NamedTuple):
     match_distances: jnp.ndarray  # (M,)
     num_matches: jnp.ndarray  # () int32
     num_features: jnp.ndarray  # () int32 valid keypoints in new frame
-    scalars_packed: jnp.ndarray  # (..., 24) f32 — see _pack_values (tiny fetch)
+    scalars_packed: jnp.ndarray  # (..., 14+len(_SCALAR_FIELDS)) f32 — see _pack_values
     features_packed: jnp.ndarray  # (..., N, 11) f32 — see _pack_features (lazy fetch)
 
 
@@ -448,13 +448,17 @@ def pull_scalars(track: TrackResult) -> dict:
     Works for both single-frame (fields shaped ()) and windowed (fields
     shaped (B,)) results; returned dict values mirror those shapes.
     """
-    packed = np.asarray(track.scalars_packed)  # (..., 24)
+    packed = np.asarray(track.scalars_packed)  # (..., 14 + len(_SCALAR_FIELDS))
     rotation = packed[..., :9].reshape(*packed.shape[:-1], 3, 3)
     translation = packed[..., 9:12]
     out = {"rotation": rotation, "translation": translation}
     for k, name in enumerate(_SCALAR_FIELDS):
         out[name] = packed[..., 12 + k]
-    out["num_matches"] = packed[..., 22]
-    out["num_features"] = packed[..., 23]
+    # Counts sit AFTER the pose fields — derive, never hard-code (a stale
+    # literal here once silently aliased num_features to the match count,
+    # disabling the keyframe match-ratio trigger).
+    counts_at = 12 + len(_SCALAR_FIELDS)
+    out["num_matches"] = packed[..., counts_at]
+    out["num_features"] = packed[..., counts_at + 1]
     out["use_essential"] = out["use_essential"] > 0.5
     return out

@@ -10,11 +10,13 @@ from pathlib import Path
 
 # The axon kernel env presets JAX_PLATFORMS=axon — override, don't setdefault.
 os.environ["JAX_PLATFORMS"] = "cpu"
-# Persistent compile cache in a MACHINE-LOCAL dir (/tmp never travels
-# between machines, so the XLA:CPU AOT cross-host mismatch that ruled out
-# the ~/.cache default cannot occur) — cuts repeat suite runs from ~20 min
-# of compiles to seconds.
-os.environ.setdefault("MVSLAM_JAX_CACHE_DIR", "/tmp/mvslam_jax_cache_cpu")
+# Persistent compile cache in a MACHINE-LOCAL, PER-USER dir (/tmp never
+# travels between machines, so the XLA:CPU AOT cross-host mismatch that
+# ruled out the ~/.cache default cannot occur; the uid suffix keeps two
+# users on one CI host from colliding on ownership) — cuts repeat suite
+# runs from ~20 min of compiles to seconds.
+_uid = os.getuid() if hasattr(os, "getuid") else "na"
+os.environ.setdefault("MVSLAM_JAX_CACHE_DIR", f"/tmp/mvslam_jax_cache_cpu_{_uid}")
 # Note: XLA:CPU logs a spurious ERROR per AOT cache hit ("prefer-no-gather
 # is not supported on the host machine") — those pseudo-features are
 # recorded in the AOT signature but never in host detection. Same-machine

@@ -188,6 +188,74 @@ class TestWindowBundleAdjuster:
         err_after = np.linalg.norm(kfs[2].pose[:3, 3] - poses_true[2][:3, 3])
         assert err_after <= err_before + 1e-6
 
+    def test_degenerate_window_returns_none(self, monkeypatch):
+        """When every chained track fails the triangulation sanity gate
+        (non-finite points), refine_window must return None, not crash on
+        an empty observation stack (regression)."""
+        import mvslam_tpu.backend.bundle_adjustment as ba_mod
+        from mvslam_tpu.backend.bundle_adjustment import WindowBundleAdjuster
+        from mvslam_tpu.backend.keyframes import Keyframe
+
+        rng = np.random.default_rng(1)
+        K = np.array([[400.0, 0, 160], [0, 400.0, 120], [0, 0, 1]])
+        n = 64
+        desc = rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32)
+        kfs = []
+        for w in range(3):
+            T = np.eye(4)
+            T[0, 3] = 0.5 * w
+            uv = rng.uniform([0, 0], [320, 240], size=(n, 2)).astype(np.float32)
+            kfs.append(
+                Keyframe(
+                    frame_id=w, timestamp=0.1 * w, pose=T,
+                    keypoints=uv, descriptors=desc, valid=np.ones(n, bool),
+                )
+            )
+        monkeypatch.setattr(
+            ba_mod,
+            "triangulate_points",
+            lambda *a, **k: np.full((len(a[2]), 3), np.inf),
+        )
+        adjuster = WindowBundleAdjuster(K)
+        assert adjuster.refine_window(kfs) is None
+
+    def test_pair_cache_reuses_sliding_window_matches(self):
+        """Consecutive pairs shared between overlapping windows are served
+        from the pair cache (match+RANSAC run once per pair)."""
+        import jax
+
+        from mvslam_tpu.backend.bundle_adjustment import WindowBundleAdjuster
+        from mvslam_tpu.backend.keyframes import Keyframe
+
+        rng = np.random.default_rng(0)
+        K = np.array([[400.0, 0, 160], [0, 400.0, 120], [0, 0, 1]])
+        n = 96
+        pts3d = np.stack(
+            [rng.uniform(-3, 3, n), rng.uniform(-2, 2, n), rng.uniform(8, 16, n)], axis=1
+        )
+        desc = rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32)
+
+        def kf(w):
+            T = np.eye(4)
+            T[0, 3] = 0.6 * w
+            T_cw = np.linalg.inv(T)
+            cam = pts3d @ T_cw[:3, :3].T + T_cw[:3, 3]
+            uv = (cam[:, :2] / cam[:, 2:]) * [400, 400] + [160, 120]
+            return Keyframe(
+                frame_id=w, timestamp=0.1 * w, pose=T,
+                keypoints=uv.astype(np.float32), descriptors=desc,
+                valid=np.ones(n, bool),
+            )
+
+        adjuster = WindowBundleAdjuster(K)
+        key = jax.random.PRNGKey(0)
+        adjuster.refine_window([kf(0), kf(1), kf(2)], key=key)
+        assert set(adjuster._pair_cache) == {(0, 1), (1, 2)}
+        cached_01 = adjuster._pair_cache[(0, 1)]
+        adjuster.refine_window([kf(1), kf(2), kf(3)], key=key)
+        assert set(adjuster._pair_cache) == {(0, 1), (1, 2), (2, 3)}
+        assert adjuster._pair_cache[(0, 1)] is cached_01  # untouched, not recomputed
+
     def test_slam_system_with_local_ba(self, tmp_path):
         """enable_local_ba=True runs end-to-end without breaking tracking."""
         import sys

@@ -165,6 +165,50 @@ class TestWindowedTracking:
         pb = np.stack(sys_win.trajectory.poses)
         assert np.allclose(pa, pb, atol=1e-5)
 
+    def test_pack_pull_scalars_roundtrip(self):
+        """Every _SCALAR_FIELDS entry AND the trailing counts must unpack
+        to the value that was packed (regression: stale hard-coded count
+        indices once aliased num_features to the match count, disabling
+        the keyframe match-ratio trigger)."""
+        import jax.numpy as jnp
+
+        from mvslam_tpu.frontend.pose_estimator import DevicePoseResult
+        from mvslam_tpu.slam.tracking import TrackResult, _pack_values, pull_scalars
+
+        pose = DevicePoseResult(
+            rotation=jnp.arange(9, dtype=jnp.float32).reshape(3, 3),
+            translation=jnp.asarray([9.0, 10.0, 11.0]),
+            use_essential=jnp.asarray(True),
+            num_inliers=jnp.asarray(101, jnp.int32),
+            inlier_ratio=jnp.asarray(0.25, jnp.float32),
+            median_parallax_deg=jnp.asarray(1.5, jnp.float32),
+            cheirality_ratio=jnp.asarray(0.75, jnp.float32),
+            score=jnp.asarray(321.0, jnp.float32),
+            essential_score=jnp.asarray(300.0, jnp.float32),
+            homography_score=jnp.asarray(21.0, jnp.float32),
+            inliers=jnp.ones(8, bool),
+            num_valid_matches=jnp.asarray(77, jnp.int32),
+            median_displacement_px=jnp.asarray(3.5, jnp.float32),
+            homography_share=jnp.asarray(0.0654, jnp.float32),
+        )
+        packed = _pack_values(pose, jnp.asarray(55, jnp.int32), jnp.asarray(444, jnp.int32))
+        track = TrackResult(
+            pose=pose, matched_p1=None, matched_p2=None, match_mask=None,
+            match_distances=None, num_matches=None, num_features=None,
+            scalars_packed=packed, features_packed=None,
+        )
+        out = pull_scalars(track)
+        np.testing.assert_array_equal(out["rotation"], np.arange(9.0).reshape(3, 3))
+        np.testing.assert_array_equal(out["translation"], [9.0, 10.0, 11.0])
+        assert bool(out["use_essential"])
+        assert out["num_inliers"] == 101
+        assert out["num_valid_matches"] == 77
+        assert out["num_matches"] == 55
+        assert out["num_features"] == 444
+        assert out["inlier_ratio"] == pytest.approx(0.25)
+        assert out["homography_share"] == pytest.approx(0.0654)
+        assert out["median_displacement_px"] == pytest.approx(3.5)
+
     def test_superwindow_matches_sequential_windows(self):
         """lax.scan over windows must reproduce S sequential track_window
         calls exactly (same per-pair keys folding global frame ids)."""
