@@ -1,6 +1,7 @@
 """Loop closure: BoW place recognition, persistent maps, relocalization."""
 
 from mvslam_tpu.loopclosure.bow import BoWConfig, BoWDatabase, train_vocabulary
+from mvslam_tpu.loopclosure.device_index import DeviceBoWIndex
 from mvslam_tpu.loopclosure.persistent_map import (
     MapKeyframe,
     MapRelocalizer,
@@ -13,6 +14,7 @@ from mvslam_tpu.loopclosure.map_builder import MapBuilderConfig, MapSnapshotBuil
 __all__ = [
     "BoWConfig",
     "BoWDatabase",
+    "DeviceBoWIndex",
     "train_vocabulary",
     "MapKeyframe",
     "MapRelocalizer",

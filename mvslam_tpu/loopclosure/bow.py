@@ -36,6 +36,11 @@ class BoWConfig:
     similarity_threshold: float = 0.75
     min_frame_gap: int = 30
     min_train_descriptors_factor: int = 10
+    # > 0: keep histograms in a device-resident static-capacity index
+    # (``loopclosure.device_index.DeviceBoWIndex``) and rank queries with
+    # one MXU matvec + in-program top-k instead of a host matvec. 0 = host
+    # ranking (reference behavior).
+    device_index_capacity: int = 0
 
 
 @partial(jax.jit, static_argnames=("vocab_size", "iterations"))
@@ -119,13 +124,21 @@ class BoWDatabase:
     (score, -frame_id) tiebreak.
     """
 
-    def __init__(self, config: Optional[BoWConfig] = None, key=None) -> None:
+    def __init__(self, config: Optional[BoWConfig] = None, key=None, mesh=None) -> None:
         self.config = config or BoWConfig()
         self._key = key if key is not None else jax.random.key(0)
         self.vocabulary: Optional[np.ndarray] = None
         self._pending: List[Tuple[int, np.ndarray, np.ndarray]] = []
         self.frame_ids: List[int] = []
         self.histograms: List[np.ndarray] = []
+        self._mesh = mesh
+        self._device_index = None
+        if self.config.device_index_capacity > 0:
+            from mvslam_tpu.loopclosure.device_index import DeviceBoWIndex
+
+            self._device_index = DeviceBoWIndex(
+                self.config.vocab_size, self.config.device_index_capacity, mesh=mesh
+            )
 
     def _maybe_train(self) -> None:
         if self.vocabulary is not None:
@@ -140,9 +153,14 @@ class BoWDatabase:
             desc, self._key, self.config.vocab_size, self.config.kmeans_iterations
         )
         for fid, d, v in self._pending:
-            self.frame_ids.append(fid)
-            self.histograms.append(compute_bow_histogram(d, v, self.vocabulary))
+            self._record(fid, compute_bow_histogram(d, v, self.vocabulary))
         self._pending.clear()
+
+    def _record(self, frame_id: int, hist: np.ndarray) -> None:
+        self.frame_ids.append(int(frame_id))
+        self.histograms.append(hist)
+        if self._device_index is not None:
+            self._device_index.add(frame_id, hist)
 
     def add_frame(self, frame_id: int, descriptors: np.ndarray, valid: Optional[np.ndarray] = None) -> None:
         descriptors = np.asarray(descriptors, dtype=np.uint32)
@@ -153,8 +171,7 @@ class BoWDatabase:
             self._pending.append((int(frame_id), descriptors, valid))
             self._maybe_train()
         else:
-            self.frame_ids.append(int(frame_id))
-            self.histograms.append(compute_bow_histogram(descriptors, valid, self.vocabulary))
+            self._record(frame_id, compute_bow_histogram(descriptors, valid, self.vocabulary))
 
     @property
     def is_trained(self) -> bool:
@@ -168,8 +185,12 @@ class BoWDatabase:
             np.ones(len(descriptors), bool) if valid is None else np.asarray(valid, bool)
         )
         hist = compute_bow_histogram(np.asarray(descriptors, np.uint32), valid, self.vocabulary)
-        db = np.stack(self.histograms)
-        scores = db @ hist
+        if self._device_index is not None:
+            # Device matvec (MXU); one (F,) fetch. Host path below computes
+            # the same scores on the host memory bus.
+            scores = self._device_index.scores(hist)
+        else:
+            scores = np.stack(self.histograms) @ hist
         order = sorted(range(len(scores)), key=lambda i: (-float(scores[i]), self.frame_ids[i]))
         return [(self.frame_ids[i], float(scores[i])) for i in order]
 
@@ -178,6 +199,27 @@ class BoWDatabase:
 
         Parity: ``loop_closure.py:76-85``.
         """
+        if self._device_index is not None and len(self.frame_ids) > 0:
+            # Fast path: in-program top-k — only 2k scalars leave the
+            # device. Falls back to the full ranking when every fetched
+            # candidate is temporally excluded but more frames exist.
+            valid_arr = (
+                np.ones(len(descriptors), bool) if valid is None else np.asarray(valid, bool)
+            )
+            hist = compute_bow_histogram(
+                np.asarray(descriptors, np.uint32), valid_arr, self.vocabulary
+            )
+            k = min(16, len(self.frame_ids))
+            top = self._device_index.topk(hist, k=k)
+            for cand_id, score in top:
+                if abs(frame_id - cand_id) < self.config.min_frame_gap:
+                    continue
+                if score >= self.config.similarity_threshold:
+                    return cand_id, score
+                return None  # ranked: first eligible is the best
+            if k >= len(self.frame_ids):
+                return None  # exhausted the whole database
+            # else: all top-k temporally excluded — fall through to full rank
         for cand_id, score in self.rank(descriptors, valid):
             if abs(frame_id - cand_id) < self.config.min_frame_gap:
                 continue

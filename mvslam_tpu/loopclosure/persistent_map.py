@@ -149,6 +149,8 @@ class MapRelocalizer:
         max_candidates: int = 5,
         ransac_threshold_px: float = 2.0,
         key=None,
+        device_index: bool = False,
+        mesh=None,
     ) -> None:
         self.snapshot = snapshot
         self.K = np.asarray(K, dtype=np.float64)
@@ -156,6 +158,16 @@ class MapRelocalizer:
         self.max_candidates = max_candidates
         self.ransac_threshold_px = ransac_threshold_px
         self._key = key if key is not None else jax.random.key(0)
+        self._device_index = None
+        if device_index and len(snapshot.keyframes):
+            # Bulk-load the snapshot's histograms into HBM once; every
+            # relocalize() then scores with an MXU matvec + in-program
+            # top-k instead of a host matvec over the whole map.
+            from mvslam_tpu.loopclosure.device_index import DeviceBoWIndex
+
+            self._device_index = DeviceBoWIndex.from_histograms(
+                snapshot.frame_ids, snapshot.histograms, mesh=mesh
+            )
 
     def relocalize(
         self,
@@ -172,7 +184,12 @@ class MapRelocalizer:
         if not snap.keyframes:
             return None
         hist = compute_bow_histogram(descriptors, valid, snap.vocabulary)
-        scores = snap.histograms @ hist
+        if self._device_index is not None:
+            # MXU matvec over the HBM-resident map; one (F,) fetch. The
+            # host branch computes the same scores on the host memory bus.
+            scores = self._device_index.scores(hist)
+        else:
+            scores = snap.histograms @ hist
         order = sorted(
             range(len(scores)), key=lambda i: (-float(scores[i]), int(snap.frame_ids[i]))
         )[: self.max_candidates]

@@ -236,6 +236,46 @@ class TestShardedBundleAdjustment:
             )
 
 
+class TestShardedBoWIndex:
+    def test_sharded_topk_matches_single_device(self):
+        """Map-axis-sharded device BoW index: same jaxpr, only the buffer
+        sharding differs — top-k matches the unsharded index."""
+        from mvslam_tpu.loopclosure.device_index import DeviceBoWIndex
+
+        rng = np.random.default_rng(0)
+        hists = rng.uniform(0, 1, size=(24, 32)).astype(np.float32)
+        hists /= np.linalg.norm(hists, axis=1, keepdims=True)
+        q = hists[5] * 0.9 + 0.1 * hists[11]
+        q /= np.linalg.norm(q)
+
+        ref = DeviceBoWIndex.from_histograms(range(24), hists, capacity=32)
+        ref_top = ref.topk(q, k=5)
+        for n_dev in (2, 8):
+            mesh = make_mesh(n_dev)
+            sharded = DeviceBoWIndex.from_histograms(
+                range(24), hists, capacity=32, mesh=mesh
+            )
+            got = sharded.topk(q, k=5)
+            assert [f for f, _ in got] == [f for f, _ in ref_top]
+            np.testing.assert_allclose(
+                [s for _, s in got], [s for _, s in ref_top], atol=1e-6
+            )
+
+    def test_incremental_add_on_mesh(self):
+        from mvslam_tpu.loopclosure.device_index import DeviceBoWIndex
+
+        rng = np.random.default_rng(1)
+        mesh = make_mesh(8)
+        index = DeviceBoWIndex(16, capacity=16, mesh=mesh)
+        hists = rng.uniform(0, 1, size=(10, 16)).astype(np.float32)
+        hists /= np.linalg.norm(hists, axis=1, keepdims=True)
+        for fid, h in enumerate(hists):
+            index.add(fid, h)
+        top = index.topk(hists[3], k=1)
+        assert top[0][0] == 3
+        assert top[0][1] == pytest.approx(1.0, abs=1e-5)
+
+
 class TestShardedSolver:
     def _problem(self, n_nodes=32):
         """Noisy SE(3) odometry chain → GraphProblem."""

@@ -95,6 +95,73 @@ class TestBoWDatabase:
         assert db.export_vocabulary() is not None
 
 
+class TestDeviceBoWIndex:
+    def _hists(self, n=12, vocab=16, seed=0):
+        rng = np.random.default_rng(seed)
+        h = rng.uniform(0, 1, size=(n, vocab)).astype(np.float32)
+        return h / np.linalg.norm(h, axis=1, keepdims=True)
+
+    def test_topk_matches_numpy_ranking(self):
+        from mvslam_tpu.loopclosure.device_index import DeviceBoWIndex
+
+        hists = self._hists()
+        index = DeviceBoWIndex(16, capacity=16)
+        for fid, h in enumerate(hists):
+            index.add(fid * 3, h)
+        q = self._hists(1, seed=7)[0]
+        ref_scores = hists @ q
+        ref_order = np.argsort(-ref_scores)[:5]
+        got = index.topk(q, k=5)
+        assert [fid for fid, _ in got] == [int(i) * 3 for i in ref_order]
+        np.testing.assert_allclose(
+            [s for _, s in got], ref_scores[ref_order], atol=1e-6
+        )
+        np.testing.assert_allclose(index.scores(q), ref_scores, atol=1e-6)
+
+    def test_capacity_overflow_raises(self):
+        from mvslam_tpu.loopclosure.device_index import DeviceBoWIndex
+
+        index = DeviceBoWIndex(16, capacity=2)
+        h = self._hists(3)
+        index.add(0, h[0])
+        index.add(1, h[1])
+        with pytest.raises(ValueError, match="full"):
+            index.add(2, h[2])
+
+    def test_bulk_load_matches_incremental(self):
+        from mvslam_tpu.loopclosure.device_index import DeviceBoWIndex
+
+        hists = self._hists(6)
+        inc = DeviceBoWIndex(16, capacity=8)
+        for fid, h in enumerate(hists):
+            inc.add(fid, h)
+        bulk = DeviceBoWIndex.from_histograms(range(6), hists, capacity=8)
+        q = self._hists(1, seed=3)[0]
+        assert inc.topk(q, k=3) == bulk.topk(q, k=3)
+
+    def test_bow_database_device_path_matches_host(self):
+        cfg_host = BoWConfig(vocab_size=16, min_frame_gap=5, similarity_threshold=0.8,
+                             min_train_descriptors_factor=10)
+        cfg_dev = BoWConfig(vocab_size=16, min_frame_gap=5, similarity_threshold=0.8,
+                            min_train_descriptors_factor=10, device_index_capacity=32)
+        db_host = BoWDatabase(cfg_host, key=jax.random.key(0))
+        db_dev = BoWDatabase(cfg_dev, key=jax.random.key(0))
+        places = [random_descriptors(80, seed=100 + p, cluster=p) for p in range(4)]
+        for fid, p in enumerate(places):
+            db_host.add_frame(fid, p)
+            db_dev.add_frame(fid, p)
+        assert db_dev.is_trained
+        revisit = random_descriptors(80, seed=999, cluster=1)
+        rank_host = db_host.rank(revisit)
+        rank_dev = db_dev.rank(revisit)
+        assert [f for f, _ in rank_host] == [f for f, _ in rank_dev]
+        np.testing.assert_allclose(
+            [s for _, s in rank_host], [s for _, s in rank_dev], atol=1e-5
+        )
+        assert db_dev.detect_loop(10, revisit) == db_host.detect_loop(10, revisit)
+        assert db_dev.detect_loop(2, revisit) == db_host.detect_loop(2, revisit)
+
+
 def make_keyframes(num=3, n_pts=128, seed=0):
     rng = np.random.default_rng(seed)
     kfs = []
@@ -192,6 +259,35 @@ class TestRelocalizer:
         direction = new_pose[:3, 3] / np.linalg.norm(new_pose[:3, 3])
         t_unit = t / np.linalg.norm(t)
         assert np.abs(direction + t_unit).max() < 0.1
+
+    def test_device_index_relocalization_matches_host(self):
+        """device_index=True scores candidates in HBM; same relocalization
+        result as the host-matvec path."""
+        rng = np.random.default_rng(3)
+        n = 256
+        K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+        pts3d = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n), rng.uniform(5, 12, n)], 1)
+        uv_kf = (pts3d[:, :2] / pts3d[:, 2:]) * [500, 500] + [320, 240]
+        cam_q = pts3d + np.array([0.4, 0.0, 0.1])
+        uv_q = (cam_q[:, :2] / cam_q[:, 2:]) * [500, 500] + [320, 240]
+        desc = random_descriptors(n, seed=7)
+        kf = MapKeyframe(
+            frame_id=0, pose=np.eye(4), keypoints=uv_kf.astype(np.float32),
+            descriptors=desc, valid=np.ones(n, bool),
+        )
+        decoy = make_keyframes(num=1, seed=99)[0]
+        decoy.frame_id = 50
+        builder = MapSnapshotBuilder(MapBuilderConfig(vocab_size=16), key=jax.random.key(0))
+        snapshot, _ = builder.build_snapshot([kf, decoy])
+        host = MapRelocalizer(snapshot, K, min_inliers=20, key=jax.random.key(1))
+        dev = MapRelocalizer(
+            snapshot, K, min_inliers=20, key=jax.random.key(1), device_index=True
+        )
+        hit_host = host.relocalize(uv_q.astype(np.float32), desc, np.ones(n, bool))
+        hit_dev = dev.relocalize(uv_q.astype(np.float32), desc, np.ones(n, bool))
+        assert hit_host is not None and hit_dev is not None
+        assert hit_dev[2]["matched_keyframe"] == hit_host[2]["matched_keyframe"]
+        np.testing.assert_allclose(hit_dev[1], hit_host[1], atol=1e-6)
 
     def test_no_match_returns_none(self):
         snapshot, _ = MapSnapshotBuilder(MapBuilderConfig(vocab_size=16)).build_snapshot(
