@@ -40,17 +40,29 @@ import gc  # noqa: E402
 import pytest  # noqa: E402
 
 
+def _rss_gb() -> float:
+    try:
+        with open("/proc/self/statm") as fh:
+            pages = int(fh.read().split()[1])
+        return pages * os.sysconf("SC_PAGE_SIZE") / 1e9
+    except (OSError, ValueError, IndexError):
+        return float("inf")  # can't measure — clear every module (safe side)
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _release_jax_executables_between_modules():
-    """Free live compiled executables at each module boundary.
+    """Free live compiled executables at module boundaries when RSS grows.
 
     A long single-process suite accumulates hundreds of resident XLA:CPU
     executables (~10 GB RSS) and then intermittently dies (SIGSEGV/SIGABRT)
     inside the runtime while executing large programs — observed at 4
     unrelated call sites across runs on this jaxlib. Dropping the in-memory
-    jit caches between modules keeps the executable population small; the
-    persistent compile cache (above) makes any re-trace cheap.
+    jit caches keeps the executable population small; the persistent
+    compile cache (above) makes any re-trace cheap. Clearing is gated on
+    measured RSS so light modules don't pay the re-trace tax — crashes
+    were only ever observed many GB above this threshold.
     """
     yield
-    jax.clear_caches()
-    gc.collect()
+    if _rss_gb() > 3.5:
+        jax.clear_caches()
+        gc.collect()
