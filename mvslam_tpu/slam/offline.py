@@ -49,6 +49,9 @@ class SLAMRunConfig:
     enable_loop_closure: bool = True
     loop_similarity_threshold: float = 0.75
     loop_min_frame_gap: int = 30
+    # > 0: device-resident BoW histogram index of this capacity
+    # (loopclosure.device_index) instead of host ranking.
+    device_bow_capacity: int = 0
     loop_min_inliers: int = 30
     loop_min_inlier_ratio: float = 0.4
     # Dynamic-object masking (frame differencing, ref L148-160)
@@ -314,6 +317,7 @@ def run_visual_slam(config: SLAMRunConfig) -> Dict[str, Any]:
             similarity_threshold=config.loop_similarity_threshold,
             min_frame_gap=config.loop_min_frame_gap,
             min_train_descriptors_factor=5,
+            device_index_capacity=config.device_bow_capacity,
         ),
         key=system.registry.key_for("bow"),
     )
@@ -483,6 +487,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     parser.add_argument("--loop-threshold", type=float, default=0.75)
     parser.add_argument("--loop-min-gap", type=int, default=30)
     parser.add_argument("--loop-min-inliers", type=int, default=30)
+    parser.add_argument(
+        "--device-bow-capacity", type=int, default=0,
+        help="> 0: rank loop candidates in a device-resident BoW index of this capacity",
+    )
     parser.add_argument("--dynamic-masking", action="store_true")
     parser.add_argument("--local-ba", action="store_true")
     parser.add_argument(
@@ -507,6 +515,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             enable_loop_closure=not args.no_loop_closure,
             loop_similarity_threshold=args.loop_threshold,
             loop_min_frame_gap=args.loop_min_gap,
+            device_bow_capacity=args.device_bow_capacity,
             loop_min_inliers=args.loop_min_inliers,
             enable_dynamic_masking=args.dynamic_masking,
             enable_local_ba=args.local_ba,
