@@ -89,6 +89,24 @@ def sampson_error(E: jnp.ndarray, pts1: jnp.ndarray, pts2: jnp.ndarray) -> jnp.n
     return num / jnp.where(den < 1e-12, 1e-12, den)
 
 
+def _two_ray_depths(R, t_vec, pts1, pts2):
+    """Per-point depths (z1, z2) from the 2x2 normal equations of
+    [f2 | -R f1] [z2; z1] = t (two-ray linear triangulation, cam1 at
+    identity) — shared by the cheirality vote and triangulation."""
+    f1 = _homogeneous(pts1)
+    f2 = _homogeneous(pts2)
+    Rf1 = f1 @ R.T
+    A = jnp.stack([f2, -Rf1], axis=-1)  # (N, 3, 2)
+    b = jnp.broadcast_to(t_vec, f1.shape)[..., None]  # (N, 3, 1)
+    AtA = jnp.swapaxes(A, -1, -2) @ A  # (N, 2, 2)
+    Atb = jnp.swapaxes(A, -1, -2) @ b  # (N, 2, 1)
+    det = AtA[..., 0, 0] * AtA[..., 1, 1] - AtA[..., 0, 1] * AtA[..., 1, 0]
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    z2 = (AtA[..., 1, 1] * Atb[..., 0, 0] - AtA[..., 0, 1] * Atb[..., 1, 0]) / det
+    z1 = (-AtA[..., 1, 0] * Atb[..., 0, 0] + AtA[..., 0, 0] * Atb[..., 1, 0]) / det
+    return z1, z2
+
+
 def decompose_essential(
     E: jnp.ndarray,
     pts1: jnp.ndarray,
@@ -113,26 +131,8 @@ def decompose_essential(
     Rs = jnp.stack([R1, R1, R2, R2])  # (4, 3, 3)
     ts = jnp.stack([t, -t, t, -t])  # (4, 3)
 
-    def depths(R, t_vec):
-        # Linear two-ray triangulation in normalised coords; returns
-        # (z1, z2) depths per point.
-        f1 = _homogeneous(pts1)  # bearing in cam1
-        f2 = _homogeneous(pts2)  # bearing in cam2
-        # X2 = R X1 + t with X1 = z1 f1, X2 = z2 f2 ⇒ solve
-        # [f2 | -R f1] [z2; z1] = t in least squares per point (2 unknowns, 3 eqs).
-        Rf1 = f1 @ R.T
-        A = jnp.stack([f2, -Rf1], axis=-1)  # (N, 3, 2)
-        b = jnp.broadcast_to(t_vec, f1.shape)[..., None]  # (N, 3, 1)
-        AtA = jnp.swapaxes(A, -1, -2) @ A  # (N, 2, 2)
-        Atb = jnp.swapaxes(A, -1, -2) @ b  # (N, 2, 1)
-        det = AtA[..., 0, 0] * AtA[..., 1, 1] - AtA[..., 0, 1] * AtA[..., 1, 0]
-        det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
-        z2 = (AtA[..., 1, 1] * Atb[..., 0, 0] - AtA[..., 0, 1] * Atb[..., 1, 0]) / det
-        z1 = (-AtA[..., 1, 0] * Atb[..., 0, 0] + AtA[..., 0, 0] * Atb[..., 1, 0]) / det
-        return z1, z2
-
     def count_cheirality(R, t_vec):
-        z1, z2 = depths(R, t_vec)
+        z1, z2 = _two_ray_depths(R, t_vec, pts1, pts2)
         good = ((z1 > 1e-6) & (z2 > 1e-6)).astype(E.dtype)
         if weights is not None:
             good = good * weights
@@ -155,17 +155,8 @@ def triangulate_normalized(
     Returns (N, 3) points in cam1 frame; used for parallax/cheirality
     diagnostics without forming projection matrices.
     """
-    f1 = _homogeneous(pts1)
-    f2 = _homogeneous(pts2)
-    Rf1 = f1 @ R.T
-    A = jnp.stack([f2, -Rf1], axis=-1)
-    b = jnp.broadcast_to(t, f1.shape)[..., None]
-    AtA = jnp.swapaxes(A, -1, -2) @ A
-    Atb = jnp.swapaxes(A, -1, -2) @ b
-    det = AtA[..., 0, 0] * AtA[..., 1, 1] - AtA[..., 0, 1] * AtA[..., 1, 0]
-    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
-    z1 = (-AtA[..., 1, 0] * Atb[..., 0, 0] + AtA[..., 0, 0] * Atb[..., 1, 0]) / det
-    return f1 * z1[..., None]
+    z1, _ = _two_ray_depths(R, t, pts1, pts2)
+    return _homogeneous(pts1) * z1[..., None]
 
 
 # ---------------------------------------------------------------------------

@@ -66,13 +66,13 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     """Rotation matrix → rotation vector, stable near 0 and π.
 
     Differentiable at the identity: the near-identity branch is a series in
-    (1 − cosθ) (smooth in R), and the generic branch's arccos input is
-    clamped away from ±1 so its derivative stays finite even where the
-    branch is unselected (the JAX ``where``-gradient rule).
+    (1 − cosθ) (smooth in R), sinθ comes from a regularised norm (finite
+    derivative at w = 0), and atan2 is smooth away from the origin — so
+    derivatives stay finite even in unselected branches (the JAX
+    ``where``-gradient rule).
     """
     trace = jnp.trace(R, axis1=-2, axis2=-1)
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(jnp.clip(cos_theta, -1.0 + 1e-7, 1.0 - 1e-7))
     # Generic branch: axis from the antisymmetric part.
     w = jnp.stack(
         [
@@ -82,9 +82,20 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )
-    sin_theta = jnp.sin(theta)
+    # sinθ from the antisymmetric part (|w| = 2 sinθ): uniformly well-
+    # conditioned, unlike sin(arccos(trace)) whose error grows as
+    # δtrace/sin²θ approaching π. The regulariser keeps d|w|/dw finite at
+    # w = 0 (autodiff through unselected branches).
+    w_norm = jnp.sqrt(jnp.sum(w * w, axis=-1) + 1e-24)
+    sin_theta = 0.5 * w_norm
+    theta = jnp.arctan2(sin_theta, cos_theta)
     near_id = cos_theta > 1.0 - 1e-6  # θ ≲ 1.4e-3
-    near_pi = cos_theta < -1.0 + 5e-7
+    # Wide π-window (θ ≳ π − 0.014): below it the generic w·θ/(2 sinθ)
+    # is well-conditioned (|w| ≥ 0.028 ≫ f32 noise); inside it BOTH the
+    # axis and the magnitude must come from better-conditioned parts —
+    # sinθ recovered from the f32 trace via arccos carries up to tens of
+    # percent relative error there.
+    near_pi = cos_theta < -0.9999
     # γ(θ) = θ / (2 sinθ): even in θ ⇒ smooth series in θ² ≈ 2(1 − cosθ).
     one_minus_c = jnp.clip(1.0 - cos_theta, 0.0, 2.0)
     scale_series = 0.5 + one_minus_c / 6.0 + one_minus_c * one_minus_c * 7.0 / 90.0
@@ -96,10 +107,30 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     aa = jnp.clip((diag - cos_theta[..., None]) / jnp.where(
         jnp.abs(1.0 - cos_theta[..., None]) < _EPS, _EPS, 1.0 - cos_theta[..., None]
     ), 0.0, 1.0)
-    axis_mag = jnp.sqrt(aa)
-    # Fix signs using the antisymmetric part (falls back to + when w≈0).
-    sign = jnp.where(w >= 0.0, 1.0, -1.0)
-    pi_branch = sign * axis_mag * theta[..., None]
+    axis_mag = jnp.sqrt(aa + 1e-24)  # regularised: finite d/daa at aa=0
+    # Relative signs from the symmetric off-diagonals: at θ≈π,
+    # R_ij + R_ji = 2(1−cosθ)·a_i·a_j, so sign(a_i·a_j) = sign(S_ij).
+    # (The antisymmetric part w = 2 sinθ·a VANISHES at θ=π — per-component
+    # signs read from it are noise and can flip a mixed-sign axis into a
+    # perpendicular one.) Anchor on the largest |a_k| (whose S row is the
+    # best-conditioned), then recover the GLOBAL sign from w, which still
+    # carries the direction for θ slightly below π; at exactly π both
+    # directions are the same rotation and the anchor's +1 is canonical.
+    # M = R + Rᵀ − 2cosθ·I = 2(1−cosθ)·aaᵀ: every entry (diagonal included)
+    # carries sign(a_i·a_j). (R + Rᵀ alone does NOT — its diagonal is
+    # 2cosθ + 2(1−cosθ)a_k², negative near π whenever |a_k| < ~0.707.)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)
+    M = R + jnp.swapaxes(R, -1, -2) - 2.0 * cos_theta[..., None, None] * eye
+    k = jnp.argmax(axis_mag, axis=-1)
+    row_k = jnp.take_along_axis(M, k[..., None, None], axis=-2)[..., 0, :]
+    rel_sign = jnp.where(row_k >= 0.0, 1.0, -1.0)
+    axis = rel_sign * axis_mag
+    axis = axis / jnp.sqrt(jnp.sum(axis * axis, axis=-1, keepdims=True) + 1e-24)
+    flip = jnp.where(jnp.sum(w * axis, axis=-1, keepdims=True) < 0.0, -1.0, 1.0)
+    # Magnitude from |w| = 2 sin(π − θ): conditioning O(1) where the
+    # arccos-of-trace estimate degrades as 1/sinθ.
+    theta_pi = jnp.pi - jnp.arcsin(jnp.clip(sin_theta, 0.0, 1.0 - 1e-7))
+    pi_branch = flip * axis * theta_pi[..., None]
     return jnp.where(near_pi[..., None], pi_branch, generic)
 
 

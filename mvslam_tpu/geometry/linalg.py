@@ -56,26 +56,14 @@ def det3x3(M: jnp.ndarray) -> jnp.ndarray:
     return a * (e * i - f * h) + b * (f * g - d * i) + c * (d * h - e * g)
 
 
-def _gauss_jordan_inverse(S: jnp.ndarray) -> jnp.ndarray:
-    """Unrolled no-pivot Gauss-Jordan inverse of (..., n, n) SPD matrices.
+def _gauss_jordan_inverse_with_pivots(S: jnp.ndarray):
+    """Unrolled no-pivot Gauss-Jordan inverse of (..., n, n) SPD matrices,
+    also returning the minimum elimination pivot.
 
     Ridge-regularised SPD input keeps every pivot positive, so pivoting is
-    unnecessary; near-singular stragglers produce non-finite entries that
-    the caller's rescue path replaces. n static (unrolled) — all batch
-    elements advance in lockstep as fused elementwise ops, where the
-    Cholesky custom-call is a sequential per-column routine (profiled at
-    ~0.5 ms per 16x512 batch of 9x9s in the tracking program).
-    """
-    inv, _ = _gauss_jordan_inverse_with_pivots(S)
-    return inv
-
-
-def _gauss_jordan_inverse_with_pivots(S: jnp.ndarray):
-    """As :func:`_gauss_jordan_inverse`, also returning the minimum pivot.
-
-    For a genuinely SPD input every elimination pivot is positive; a
-    non-positive ``min_pivot`` (..., ) means roundoff left the system
-    indefinite and the returned inverse — finite or not — is untrustworthy.
+    unnecessary; a non-positive ``min_pivot`` (...,) means roundoff left
+    the system indefinite and the returned inverse — finite or not — is
+    untrustworthy.
     """
     n = S.shape[-1]
     eye = jnp.broadcast_to(jnp.eye(n, dtype=S.dtype), S.shape)

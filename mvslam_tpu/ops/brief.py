@@ -113,7 +113,11 @@ def extract_patches(image: jnp.ndarray, xy: jnp.ndarray, out_dtype=None) -> jnp.
     copies — bit-identical output. ``MVSLAM_PALLAS_PATCHES=0`` forces
     the XLA path.
     """
-    if _use_pallas_patches():
+    # The Mosaic kernel's in-register roll is 32-bit-only; integer frames
+    # (uint8 PNG decode output) take the XLA path below, which handles any
+    # dtype (casting to f32 here would NOT be bit-identical for the
+    # out_dtype=None contract).
+    if _use_pallas_patches() and image.dtype.itemsize == 4:
         from mvslam_tpu.ops.pallas_patches import extract_patches_pallas
 
         return extract_patches_pallas(image, xy, out_dtype=out_dtype)
@@ -191,7 +195,11 @@ def describe_keypoints(
     ``(descriptors (N, 8) uint32, angles (N,) float32)``. Invalid slots
     hold zero descriptors.
     """
-    patches = extract_patches(image, xy)  # (N, 961)
+    # bf16 patches: both consumers (moment matmul, comparison-bank matmul)
+    # cast to bf16 anyway, so narrowing at extraction is bit-identical and
+    # halves the (N, 961) patch buffer's HBM traffic; on TPU the Pallas
+    # kernel emits bf16 directly (conversion after the 32-bit roll).
+    patches = extract_patches(image, xy, out_dtype=jnp.bfloat16)  # (N, 961)
     angles = orientations_from_patches(patches, valid)
     # Quantise the steering angle to one of NUM_ANGLE_BINS rotations.
     two_pi = 2.0 * jnp.pi

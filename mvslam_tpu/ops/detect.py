@@ -57,6 +57,17 @@ def detect_and_describe(
         if level < num_levels - 1:
             img = downsample2(img)
 
+    if not parts:
+        # Image smaller than the FAST border at every level: the static-
+        # shape contract still holds — an all-invalid padded FeatureSet
+        # instead of an obscure empty-concatenate error.
+        return (
+            jnp.zeros((num_features, 2), jnp.float32),
+            jnp.zeros((num_features,), jnp.float32),
+            jnp.zeros((num_features, 8), jnp.uint32),
+            jnp.zeros((num_features,), jnp.float32),
+            jnp.zeros((num_features,), bool),
+        )
     xy = jnp.concatenate([p[0] for p in parts], axis=0)
     scores = jnp.concatenate([p[1] for p in parts], axis=0)
     desc = jnp.concatenate([p[2] for p in parts], axis=0)

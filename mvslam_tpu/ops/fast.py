@@ -203,7 +203,10 @@ def detect_keypoints(
         if config.use_pallas is not None
         else jax.default_backend() == "tpu"
     )
-    if use_pallas and config.nms_radius == 1:
+    # margin >= 4: the kernel's zero halo only matches XLA's circular
+    # jnp.roll wraparound when the border mask kills every pixel whose
+    # circle taps (radius 3) or NMS pool could touch the wrap seam.
+    if use_pallas and config.nms_radius == 1 and config.border_margin >= 4:
         # Fused score + 3x3 NMS + border mask in one VMEM pass (see
         # ops/pallas_fast.py for the measured comparison vs XLA).
         from mvslam_tpu.ops.pallas_fast import fast_detect_pallas

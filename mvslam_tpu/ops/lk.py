@@ -112,7 +112,12 @@ def _lk_level(prev_img, next_img, pts_prev, guess, config: LKConfig):
         sx = -(gyy * bx - gxy * by) / det_safe
         sy = -(-gxy * bx + gxx * by) / det_safe
         step = jnp.stack([sx, sy], axis=-1)
-        step = jnp.where((solvable & ok)[:, None], step, 0.0)
+        # ok_prev gates the step too: a border-clamped template is silently
+        # SHIFTED, and refining against it converges d toward the shifted
+        # content — doubling the error per pyramid level for points in the
+        # border band. Such points must keep their guess (valid=False at
+        # the end regardless).
+        step = jnp.where((solvable & ok & ok_prev)[:, None], step, 0.0)
         return d + step, None
 
     d, _ = jax.lax.scan(body, guess, None, length=config.iterations)

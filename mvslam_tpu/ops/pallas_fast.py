@@ -126,8 +126,13 @@ def fast_detect_pallas(image: jnp.ndarray, threshold: float, margin: int = 19):
     """Fused FAST-9 response + 3x3 NMS + border mask in one HBM pass.
 
     image: (H, W) → ``(detections, raw)`` float32 (H, W) maps. ``detections``
-    equals ``_mask_border(_nms(fast_score_map(image, threshold), 1), margin)``;
-    ``raw`` is the pre-NMS response used for subpixel peak refinement.
+    equals ``_mask_border(_nms(fast_score_map(image, threshold), 1), margin)``
+    for ``margin >= 4``: the kernel pads with zeros where the XLA
+    formulation's ``jnp.roll`` wraps circularly, and the border mask only
+    hides that difference once it covers the circle taps (radius 3) plus
+    the NMS pool. The dispatch in ``ops.fast.detect_keypoints`` falls back
+    to XLA for smaller margins. ``raw`` is the pre-NMS response used for
+    subpixel peak refinement.
     """
     image = image.astype(jnp.float32)
     h, w = image.shape
@@ -158,11 +163,3 @@ def fast_detect_pallas(image: jnp.ndarray, threshold: float, margin: int = 19):
         ),
     )(padded, padded)
     return out[:h, :w], raw[:h, :w]
-
-
-def pallas_available() -> bool:
-    """True when the default backend runs Mosaic kernels (TPU/axon)."""
-    try:
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:
-        return False

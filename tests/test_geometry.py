@@ -55,6 +55,35 @@ class TestLie:
         assert np.allclose(R, np.eye(3), atol=1e-6)
         assert np.allclose(so3_log(R), rvec, atol=1e-6)
 
+    def test_so3_log_near_pi_mixed_sign_axes(self):
+        """180-degree rotations about mixed-sign axes round-trip: the
+        per-component signs must come from the symmetric part aaT (the
+        antisymmetric part vanishes at pi — regression: noise-read signs
+        once flipped the axis into a perpendicular one)."""
+        rng = np.random.default_rng(2)
+        axes = [np.array(a, float) for a in
+                ([1, -1, 0], [1, 1, -1], [-1, 1, 1], [0.19, -0.2, 0.96])]
+        axes += [rng.normal(size=3) for _ in range(30)]
+        for a in axes:
+            a = a / np.linalg.norm(a)
+            for theta in (np.pi, np.pi - 1e-4, np.pi - 5e-3, np.pi - 0.014, np.pi - 0.015):
+                R = np.asarray(so3_exp(jnp.asarray(theta * a, jnp.float32)))
+                r = np.asarray(so3_log(jnp.asarray(R, jnp.float32)))
+                R2 = np.asarray(so3_exp(jnp.asarray(r)))
+                assert np.abs(R2 - R).max() < 5e-4, (a, theta, np.abs(R2 - R).max())
+
+    def test_so3_log_differentiable_at_identity_and_pi(self):
+        import jax
+
+        def f(rv):
+            return jnp.sum(so3_log(so3_exp(rv)) ** 2)
+
+        for rv in ([0.0, 0.0, 0.0], [3.1, 0.2, -0.1], [1e-9, 0.0, 0.0]):
+            g = np.asarray(jax.grad(f)(jnp.asarray(rv, jnp.float32)))
+            assert np.isfinite(g).all(), (rv, g)
+        g = np.asarray(jax.grad(f)(jnp.asarray([0.5, -0.5, 0.5], jnp.float32)))
+        np.testing.assert_allclose(g, [1.0, -1.0, 1.0], atol=1e-3)
+
     def test_so3_orthonormal(self):
         rng = np.random.default_rng(1)
         R = np.asarray(so3_exp(jnp.asarray(rng.normal(size=(8, 3)), dtype=jnp.float32)))
