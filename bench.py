@@ -146,28 +146,53 @@ def bench_cpu_reference(frames) -> float:
 # the driver's budget. Round 1 timed out (BENCH_r01.json rc=124) running
 # 4 × 900 s child passes; round 2 bounds everything by one overall
 # deadline and emits best-so-far on ANY exit path (timeout, exception,
-# SIGTERM from the driver's `timeout`).
+# SIGTERM from the driver's `timeout`). Round 3 adds a fast tunnel-health
+# probe so a dead tunnel produces a legible {"tunnel_down": true} artifact
+# in ~30 s instead of burning the deadline, and marks a 0.0 value as
+# status="error" so it cannot be ingested as a measured throughput.
 OVERALL_DEADLINE_S = 390.0
 CHILD_TIMEOUT_S = 200.0
+PROBE_TIMEOUT_S = 30.0
 MAX_PASSES = 3
 _state = {"best_fps": 0.0, "emitted": False}
 
 
-def _emit(tpu_fps: float, cpu_fps: float) -> None:
+def _emit(tpu_fps: float, cpu_fps: float, **extra) -> None:
     if _state["emitted"]:
         return
     _state["emitted"] = True
-    print(
-        json.dumps(
-            {
-                "metric": "tracked_frames_per_sec_per_chip",
-                "value": round(tpu_fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(tpu_fps / max(cpu_fps, 1e-9), 2),
-            }
-        ),
-        flush=True,
-    )
+    payload = {
+        "metric": "tracked_frames_per_sec_per_chip",
+        "value": round(tpu_fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(tpu_fps / max(cpu_fps, 1e-9), 2),
+    }
+    if tpu_fps <= 0.0:
+        # Not a measurement: no pass ever completed. Downstream tooling
+        # must not ingest 0.0 as a throughput (ADVICE r2).
+        payload["status"] = "error"
+    payload.update(extra)
+    print(json.dumps(payload), flush=True)
+
+
+def _probe_tunnel() -> bool:
+    """True iff a fresh subprocess can enumerate TPU devices within
+    PROBE_TIMEOUT_S.  `jax.devices()` hangs indefinitely when the axon
+    tunnel is down, so the probe must live in a killable child."""
+    import subprocess
+    import sys
+
+    code = "import jax; print(len(jax.devices()))"
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=PROBE_TIMEOUT_S,
+        )
+        return out.returncode == 0 and int(out.stdout.strip().splitlines()[-1]) >= 1
+    except Exception:
+        return False
 
 
 def _run_child_passes(deadline: float) -> float:
@@ -233,6 +258,12 @@ def main() -> None:
     signal.signal(signal.SIGTERM, _bail)
     signal.signal(signal.SIGALRM, _bail)
     signal.alarm(int(OVERALL_DEADLINE_S) + 30)  # in-process hang backstop
+
+    if not _probe_tunnel():
+        # Dead tunnel: emit a legible diagnostic immediately instead of
+        # burning the deadline on child passes that can only time out.
+        _emit(0.0, cpu_fps, tunnel_down=True)
+        return
 
     try:
         tpu_fps = _run_child_passes(deadline)
