@@ -36,9 +36,10 @@ class BoWConfig:
     similarity_threshold: float = 0.75
     min_frame_gap: int = 30
     min_train_descriptors_factor: int = 10
-    # > 0: keep histograms in a device-resident static-capacity index
-    # (``loopclosure.device_index.DeviceBoWIndex``) and rank queries with
-    # one MXU matvec + in-program top-k instead of a host matvec. 0 = host
+    # > 0: keep histograms in a device-resident index
+    # (``loopclosure.device_index.DeviceBoWIndex``, initial capacity =
+    # this value, doubling when full) and rank queries with one MXU
+    # matvec + in-program top-k instead of a host matvec. 0 = host
     # ranking (reference behavior).
     device_index_capacity: int = 0
 

@@ -185,6 +185,15 @@ class MapRelocalizer:
             return None
         hist = compute_bow_histogram(descriptors, valid, snap.vocabulary)
         if self._device_index is not None:
+            if len(self._device_index) != len(snap.keyframes):
+                # The snapshot was swapped/extended after construction —
+                # rebuild the HBM copy rather than silently scoring stale
+                # rows (and truncating to the stale length).
+                from mvslam_tpu.loopclosure.device_index import DeviceBoWIndex
+
+                self._device_index = DeviceBoWIndex.from_histograms(
+                    snap.frame_ids, snap.histograms, mesh=getattr(self._device_index, "_mesh", None)
+                )
             # MXU matvec over the HBM-resident map; one (F,) fetch. The
             # host branch computes the same scores on the host memory bus.
             scores = self._device_index.scores(hist)

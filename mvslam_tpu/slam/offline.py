@@ -57,8 +57,11 @@ class SLAMRunConfig:
     # Dynamic-object masking (frame differencing, ref L148-160)
     enable_dynamic_masking: bool = False
     dynamic_diff_threshold: float = 40.0
-    # Local BA over the keyframe window
-    enable_local_ba: bool = False
+    # Local BA over the keyframe window. Default ON: the reference runs
+    # local BA unconditionally on keyframe insertion
+    # (visual_slam_offline_entry_point.py:544-555), and SLAMSystemConfig
+    # defaults it on too (slam/api.py).
+    enable_local_ba: bool = True
     # Pose source: "features" or "flow_first" (LK tracks with matching
     # fallback — the reference's pose priority chain, ref L484-539)
     pose_source: str = "features"
@@ -492,7 +495,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         help="> 0: rank loop candidates in a device-resident BoW index of this capacity",
     )
     parser.add_argument("--dynamic-masking", action="store_true")
-    parser.add_argument("--local-ba", action="store_true")
+    parser.add_argument(
+        "--local-ba", dest="local_ba", action="store_true", default=True,
+        help="window BA on keyframe insertion (default ON, reference parity)",
+    )
+    parser.add_argument("--no-local-ba", dest="local_ba", action="store_false")
     parser.add_argument(
         "--pose-source", choices=["features", "flow_first"], default="features",
         help="flow_first: pyramidal LK pose with feature-matching fallback",

@@ -274,6 +274,40 @@ class TestShardedBoWIndex:
         top = index.topk(hists[3], k=1)
         assert top[0][0] == 3
         assert top[0][1] == pytest.approx(1.0, abs=1e-5)
+        # Output sharding is preserved by the insert program itself.
+        assert index._buf.sharding == index._sharding
+
+    def test_insert_is_sharding_preserving_no_collectives(self):
+        """An insert on a mesh must update one row of one shard — the
+        compiled program contains no all-gather/all-reduce (i.e. no
+        full-buffer reshard per keyframe insert)."""
+        import jax.numpy as jnp
+        from mvslam_tpu.loopclosure.device_index import DeviceBoWIndex
+
+        mesh = make_mesh(8)
+        index = DeviceBoWIndex(32, capacity=64, mesh=mesh)
+        row = jnp.ones((32,), jnp.float32)
+        hlo = index._insert.lower(
+            index._buf, row, jnp.asarray(0, jnp.int32)
+        ).compile().as_text()
+        for collective in ("all-gather", "all-reduce", "collective-permute", "all-to-all"):
+            assert collective not in hlo, f"insert reshards the buffer: {collective}"
+
+    def test_growth_on_mesh_preserves_sharding_and_scores(self):
+        from mvslam_tpu.loopclosure.device_index import DeviceBoWIndex
+
+        rng = np.random.default_rng(7)
+        mesh = make_mesh(8)
+        index = DeviceBoWIndex(16, capacity=8, mesh=mesh)
+        hists = rng.uniform(0, 1, size=(20, 16)).astype(np.float32)
+        hists /= np.linalg.norm(hists, axis=1, keepdims=True)
+        for fid, h in enumerate(hists):
+            index.add(fid, h)  # grows past 8 mid-way
+        assert index.capacity >= 20 and index.capacity % mesh.size == 0
+        assert index._buf.sharding == index._sharding
+        q = hists[13]
+        np.testing.assert_allclose(index.scores(q), hists @ q, atol=1e-5)
+        assert index.topk(q, k=1)[0][0] == 13
 
 
 class TestShardedSolver:

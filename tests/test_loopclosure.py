@@ -118,15 +118,47 @@ class TestDeviceBoWIndex:
         )
         np.testing.assert_allclose(index.scores(q), ref_scores, atol=1e-6)
 
-    def test_capacity_overflow_raises(self):
+    def test_capacity_overflow_grows(self):
+        """A long sequence must never crash on index capacity (ADVICE r2):
+        the buffer doubles and ranking stays exact across the growth."""
         from mvslam_tpu.loopclosure.device_index import DeviceBoWIndex
 
         index = DeviceBoWIndex(16, capacity=2)
+        h = self._hists(5)
+        for fid in range(5):
+            index.add(fid, h[fid])
+        assert index.capacity >= 5
+        assert len(index) == 5
+        q = self._hists(1, seed=9)[0]
+        ref = h @ q
+        np.testing.assert_allclose(index.scores(q), ref, atol=1e-6)
+        assert index.topk(q, k=1)[0][0] == int(np.argmax(ref))
+
+    def test_non_monotone_frame_ids_rejected(self):
+        """Monotone insertion is what makes the device top-k tie-break
+        equal the host (-score, frame_id) order across the k cutoff."""
+        from mvslam_tpu.loopclosure.device_index import DeviceBoWIndex
+
         h = self._hists(3)
-        index.add(0, h[0])
-        index.add(1, h[1])
-        with pytest.raises(ValueError, match="full"):
-            index.add(2, h[2])
+        index = DeviceBoWIndex(16, capacity=4)
+        index.add(5, h[0])
+        with pytest.raises(ValueError, match="increasing"):
+            index.add(5, h[1])
+        with pytest.raises(ValueError, match="increasing"):
+            DeviceBoWIndex.from_histograms([3, 1, 2], h)
+
+    def test_tied_scores_across_cutoff_match_host_order(self):
+        from mvslam_tpu.loopclosure.device_index import DeviceBoWIndex
+
+        vocab = 16
+        # Three identical rows (exact ties) + one distinct: with k=2 the
+        # tie straddles the cutoff; device must pick the lowest frame ids.
+        base = self._hists(1, seed=2)[0]
+        other = self._hists(1, seed=4)[0]
+        rows = np.stack([other, base, base, base])
+        index = DeviceBoWIndex.from_histograms([0, 10, 20, 30], rows, capacity=4)
+        got = index.topk(base, k=2)
+        assert [f for f, _ in got] == [10, 20]
 
     def test_bulk_load_matches_incremental(self):
         from mvslam_tpu.loopclosure.device_index import DeviceBoWIndex
