@@ -22,12 +22,15 @@ Both paths compile and run on an N-virtual-device CPU mesh for testing
 
 from __future__ import annotations
 
+import logging
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
 
 from mvslam_tpu.frontend.feature_pipeline import FeaturePipelineConfig, FeatureSet
 from mvslam_tpu.frontend.pose_estimator import (
@@ -194,13 +197,24 @@ def run_bundle_adjustment_sharded(
     (cross-chip accumulation may reorder sums) and are run-to-run
     deterministic for a fixed mesh. Ref contract: ``bundle_adjustment.py:83-170``.
 
-    The observation budget is padded to a power of two (≥64), so any
-    power-of-two mesh divides it; pass ``max_observations`` as a multiple
-    of the mesh size for other mesh shapes.
+    Any observation count engages the sharded path: the padded budget is
+    rounded up to a mesh multiple here (padding rows are masked out, so
+    they contribute exactly zero to the normal equations).
     """
     from mvslam_tpu.backend.bundle_adjustment import run_bundle_adjustment
 
     axis = mesh.axis_names[0]
+    n_dev = mesh.size
+    if max_observations is None:
+        O = len(observations)
+        max_observations = max(64, 1 << max(O - 1, 1).bit_length())
+    if max_observations % n_dev:
+        rounded = max_observations + (n_dev - max_observations % n_dev)
+        logger.info(
+            "rounding BA observation budget to a mesh multiple",
+            extra={"requested": max_observations, "rounded": rounded, "mesh": n_dev},
+        )
+        max_observations = rounded
     return run_bundle_adjustment(
         poses,
         points,
@@ -232,10 +246,36 @@ def solve_problem_sharded(mesh: Mesh, problem, config=None):
 
     config = config or SolverConfig()
     n_dev = mesh.size
-    if problem.num_factors == 0 or problem.num_factors % n_dev:
-        # Uneven factor counts: fall back to the replicated solve rather
-        # than pad (factor weights of 0 would still shift segment ids).
+    if problem.num_factors == 0:
         return solve_problem(problem, config)
+    n_pad = (-problem.num_factors) % n_dev
+    if n_pad:
+        # Pad with zero-weight identity self-edges on node 0: residuals
+        # and Jacobians carry the ×0 weight, so the padded factors add
+        # exactly-zero blocks to the normal equations (node ids are
+        # explicit in the edge list — no segment-id shift). This lets a
+        # chain+loop graph (N edges, power-of-two mesh) take the sharded
+        # path instead of silently falling back to replicated.
+        d = problem.measurements.shape[1]
+        dt = problem.measurements.dtype
+        problem = problem._replace(
+            edges=jnp.concatenate(
+                [jnp.asarray(problem.edges, jnp.int32), jnp.zeros((n_pad, 2), jnp.int32)]
+            ),
+            measurements=jnp.concatenate(
+                [jnp.asarray(problem.measurements, dt), jnp.zeros((n_pad, d), dt)]
+            ),
+            weights=jnp.concatenate(
+                [
+                    jnp.asarray(problem.weights),
+                    jnp.zeros((n_pad,), jnp.asarray(problem.weights).dtype),
+                ]
+            ),
+        )
+        logger.info(
+            "padded pose-graph factors to a mesh multiple",
+            extra={"factors": problem.num_factors - n_pad, "padded_to": problem.num_factors},
+        )
     axis = mesh.axis_names[0]
     edge_sharding = NamedSharding(mesh, P(axis))
     replicated = NamedSharding(mesh, P())

