@@ -20,12 +20,44 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from mvslam_tpu.geometry.linalg import inv3x3, smallest_eigvec_psd
+from mvslam_tpu.geometry.linalg import inv3x3, smallest_eigvec_psd, tree_sum
 from mvslam_tpu.geometry.projection import hartley_normalization
 
 
 def _homogeneous(pts: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1)
+
+
+def _matvec3(M: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3, 3) applied to (..., N, 3) rows with pinned association.
+
+    Equivalent to ``x @ swapaxes(M, -1, -2)`` but written as explicit
+    ``(m0·x0 + m1·x1) + m2·x2`` so the 3-term accumulation order cannot be
+    retiled differently at different per-device batch shapes (the scorer
+    outputs feed RANSAC vote thresholds — see ``_gram_tree``).
+    """
+    cols = [x[..., j] for j in range(3)]
+    rows = [
+        (M[..., i, 0, None] * cols[0] + M[..., i, 1, None] * cols[1])
+        + M[..., i, 2, None] * cols[2]
+        for i in range(3)
+    ]
+    return jnp.stack(rows, axis=-1)
+
+
+def _gram_tree(A: jnp.ndarray) -> jnp.ndarray:
+    """AᵀA accumulated by an order-pinned balanced tree over the row axis.
+
+    A: (..., N, D) → (..., D, D). A ``dot`` contraction over N is
+    reassociated freely by XLA when the program recompiles at a different
+    per-device batch shape (mesh size), so f32 refits drift across meshes;
+    the explicit outer-product + :func:`~mvslam_tpu.geometry.linalg.tree_sum`
+    form is bit-identical on any mesh and loses only O(log N · eps) to
+    roundoff. Refit-only (once per pair, N ≤ a few hundred rows): the
+    (N, D, D) intermediate stays fusion-resident.
+    """
+    outer = A[..., :, :, None] * A[..., :, None, :]
+    return tree_sum(outer, axis=-3)
 
 
 def _smallest_singular_vector(A: jnp.ndarray, rescue: bool = True) -> jnp.ndarray:
@@ -35,9 +67,14 @@ def _smallest_singular_vector(A: jnp.ndarray, rescue: bool = True) -> jnp.ndarra
     faster than eigh/svd for the thousands of tiny systems in a RANSAC
     hypothesis batch. ``rescue=False`` skips the NaN-rescue factorization
     (appropriate when a failed element merely loses a RANSAC vote).
+
+    AᵀA is accumulated with the order-pinned tree form (``_gram_tree``)
+    rather than a ``dot``: the contraction is tiny (8 or 4 rows), so the
+    cost is identical, and the result is bit-stable across the different
+    per-device batch shapes a mesh introduces — keeping hypothesis models
+    (and therefore RANSAC votes/argmax) mesh-invariant.
     """
-    AtA = jnp.swapaxes(A, -1, -2) @ A
-    return smallest_eigvec_psd(AtA, rescue=rescue)
+    return smallest_eigvec_psd(_gram_tree(A), rescue=rescue)
 
 
 def eight_point_essential(
@@ -57,7 +94,7 @@ def eight_point_essential(
     if weights is not None:
         A = A * weights[..., None]
     # Refits (weights given) poison the final model on NaN -> rescue;
-    # hypothesis batches just lose one vote -> skip the extra Cholesky.
+    # hypothesis batches just lose one vote -> skip the extra inversion.
     e = _smallest_singular_vector(A, rescue=weights is not None)
     E = e.reshape(*e.shape[:-1], 3, 3)
     if weights is None:
@@ -82,9 +119,10 @@ def sampson_error(E: jnp.ndarray, pts1: jnp.ndarray, pts2: jnp.ndarray) -> jnp.n
     """
     x1 = _homogeneous(pts1)
     x2 = _homogeneous(pts2)
-    Ex1 = x1 @ jnp.swapaxes(E, -1, -2)  # (..., N, 3) = (E @ x1ᵀ)ᵀ
-    Etx2 = x2 @ E  # (..., N, 3) = (Eᵀ @ x2ᵀ)ᵀ
-    num = jnp.sum(x2 * Ex1, axis=-1) ** 2
+    Ex1 = _matvec3(E, x1)  # (..., N, 3) = (E @ x1ᵀ)ᵀ
+    Etx2 = _matvec3(jnp.swapaxes(E, -1, -2), x2)  # (..., N, 3) = (Eᵀ @ x2ᵀ)ᵀ
+    prod = x2 * Ex1
+    num = ((prod[..., 0] + prod[..., 1]) + prod[..., 2]) ** 2
     den = Ex1[..., 0] ** 2 + Ex1[..., 1] ** 2 + Etx2[..., 0] ** 2 + Etx2[..., 1] ** 2
     return num / jnp.where(den < 1e-12, 1e-12, den)
 
@@ -201,7 +239,7 @@ def symmetric_transfer_error(H: jnp.ndarray, pts1: jnp.ndarray, pts2: jnp.ndarra
 
     def transfer(M, pts):
         x = _homogeneous(pts)
-        y = x @ jnp.swapaxes(M, -1, -2)
+        y = _matvec3(M, x)
         w = jnp.where(jnp.abs(y[..., 2:3]) < 1e-12, 1e-12, y[..., 2:3])
         return y[..., :2] / w
 

@@ -13,6 +13,36 @@ import jax
 import jax.numpy as jnp
 
 
+def tree_sum(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Sum along ``axis`` as an explicit balanced tree of adds.
+
+    The accumulation order inside a ``reduce``/``dot`` contraction is an
+    XLA implementation detail: it legally changes when the surrounding
+    program is compiled at a different (e.g. per-device, after sharding)
+    batch shape, which makes f32 sums disagree across mesh sizes. The
+    explicit pairwise adds here pin the order in the jaxpr itself — the
+    result is bit-identical for any mesh/batch shape — and as a balanced
+    tree the roundoff is O(log N · eps) instead of O(N · eps). Used by the
+    weighted (inlier-refit) normal-equation accumulations in
+    ``geometry.epipolar``.
+    """
+    axis = axis % x.ndim
+    n = x.shape[axis]
+    if n <= 1:
+        return jnp.sum(x, axis=axis)
+    m = 1 << (n - 1).bit_length()  # next power of two ≥ n
+    if m != n:
+        pad_width = [(0, 0)] * x.ndim
+        pad_width[axis] = (0, m - n)
+        x = jnp.pad(x, pad_width)
+    while m > 1:
+        m //= 2
+        a = jax.lax.slice_in_dim(x, 0, m, axis=axis)
+        b = jax.lax.slice_in_dim(x, m, 2 * m, axis=axis)
+        x = a + b
+    return jnp.squeeze(x, axis=axis)
+
+
 def inv3x3(M: jnp.ndarray) -> jnp.ndarray:
     """Closed-form adjugate inverse of (..., 3, 3) matrices.
 
@@ -90,7 +120,12 @@ def smallest_eigvec_psd(S: jnp.ndarray, iterations: int = 10, rescue: bool = Tru
     hurt RANSAC inlier recall); clean refit spectra converge in 1-2.
     """
     n = S.shape[-1]
-    trace = jnp.trace(S, axis1=-2, axis2=-1)
+    # All tiny-dim reductions here go through tree_sum: a plain
+    # reduce/dot's accumulation order can change with the surrounding
+    # compiled batch shape (mesh sharding), and downstream RANSAC votes
+    # threshold on these values — order-pinned adds keep the whole solve
+    # bit-stable across mesh sizes.
+    trace = tree_sum(jnp.diagonal(S, axis1=-2, axis2=-1), axis=-1)
     # A ridge shifts every eigenvalue equally but never changes the
     # eigenvectors. It must (a) dominate the f32 matmul roundoff that can
     # leave AᵀA slightly indefinite (λ_min ≈ −1e-8·tr observed) yet (b)
@@ -142,6 +177,7 @@ def smallest_eigvec_psd(S: jnp.ndarray, iterations: int = 10, rescue: bool = Tru
 
     x = jnp.broadcast_to(jnp.linspace(1.0, 1.3, n, dtype=S.dtype), S.shape[:-2] + (n,))
     for _ in range(iterations):
-        x = jnp.sum(S_inv * x[..., None, :], axis=-1)
-        x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-30)
+        x = tree_sum(S_inv * x[..., None, :], axis=-1)
+        norm = jnp.sqrt(tree_sum(x * x, axis=-1))[..., None]
+        x = x / jnp.maximum(norm, 1e-30)
     return x

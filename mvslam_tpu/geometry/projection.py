@@ -135,11 +135,16 @@ def hartley_normalization(
         centered = pts - mean
         mean_dist = jnp.mean(jnp.linalg.norm(centered, axis=-1), axis=-1)
     else:
-        wsum = jnp.sum(weights, axis=-1, keepdims=True)
+        # Weighted = inlier refit: accumulate with order-pinned tree sums
+        # so the statistics are bit-identical across mesh/batch shapes
+        # (see geometry.linalg.tree_sum).
+        from mvslam_tpu.geometry.linalg import tree_sum
+
+        wsum = tree_sum(weights, axis=-1)[..., None]
         wsum = jnp.where(wsum < 1e-12, 1e-12, wsum)
-        mean = jnp.sum(pts * weights[..., None], axis=-2, keepdims=True) / wsum[..., None]
+        mean = tree_sum(pts * weights[..., None], axis=-2)[..., None, :] / wsum[..., None]
         centered = pts - mean
-        mean_dist = jnp.sum(jnp.linalg.norm(centered, axis=-1) * weights, axis=-1) / wsum[..., 0]
+        mean_dist = tree_sum(jnp.linalg.norm(centered, axis=-1) * weights, axis=-1) / wsum[..., 0]
     scale = jnp.sqrt(jnp.asarray(2.0, dtype=pts.dtype)) / jnp.where(mean_dist < 1e-12, 1e-12, mean_dist)
     T = jnp.stack(
         [
