@@ -27,7 +27,10 @@ import numpy as np
 
 from mvslam_tpu.core.determinism import build_registry
 from mvslam_tpu.core.experiments import create_run_artifacts, write_resolved_config
-from mvslam_tpu.core.persistence import summarize_frame_diagnostics_streaming
+from mvslam_tpu.core.persistence import (
+    sanitize_artifact_name,
+    summarize_frame_diagnostics_streaming,
+)
 from mvslam_tpu.eval.baselines import BaselineStore, MetricThreshold, compare_metrics
 from mvslam_tpu.eval.relocalization_metrics import (
     summarize_relocalization_events,
@@ -42,6 +45,9 @@ from mvslam_tpu.eval.trajectory import (
     compute_additional_metrics,
     load_trajectory_file,
     positions_from_poses,
+    write_metrics_csv,
+    write_metrics_json,
+    write_metrics_txt,
 )
 
 logger = logging.getLogger(__name__)
@@ -178,6 +184,14 @@ def run_evaluation(config: EvaluationConfig) -> Dict[str, Any]:
                 if isinstance(v, (int, float)):
                     reloc_all[f"{source}_{k}"] = float(v)
         per_sequence[entry.name] = seq_report
+        # Per-sequence report files via the trajectory writers (parity:
+        # evaluation_harness.py:561-564 writes txt/json/csv per sequence).
+        seq_dir = arts.run_dir / "sequences"
+        seq_dir.mkdir(exist_ok=True)
+        safe = sanitize_artifact_name(entry.name)
+        write_metrics_txt(metrics, seq_dir / f"{safe}.txt")
+        write_metrics_json(metrics, seq_dir / f"{safe}.json")
+        write_metrics_csv(metrics, seq_dir / f"{safe}.csv")
 
     # Aggregate: mean over sequences (parity L386-398).
     aggregate: Dict[str, float] = {}

@@ -235,6 +235,13 @@ class TestHarness:
         run_dir = Path(summary["run_dir"])
         assert (run_dir / "summary.json").exists()
         assert (run_dir / "summary.csv").exists()
+        # Per-sequence report files (parity: evaluation_harness.py:561-564).
+        for ext in ("txt", "json", "csv"):
+            assert (run_dir / "sequences" / f"seq0.{ext}").exists()
+        seq_metrics = json.loads((run_dir / "sequences" / "seq0.json").read_text())
+        assert seq_metrics["ATE_RMSE"] == pytest.approx(
+            summary["sequences"]["seq0"]["metrics"]["ATE_RMSE"]
+        )
 
     def test_baseline_flow(self, tmp_path):
         cfg_path = make_eval_setup(tmp_path, with_baseline=True, write=True)
