@@ -9,14 +9,31 @@ L351, L399), a dict-based reorder buffer (ref L219-237), a circuit
 breaker, P²-quantile latency telemetry (ref L117-185), and a health
 snapshot + event digest (ref L590-631).
 
-Device note: on a single chip the workers serialise at dispatch; the pool
-still overlaps host-side hashing/serialisation with device compute and
-provides the same backpressure semantics as the reference.
+Device note: on a single chip, per-frame worker threads serialise at
+dispatch — N workers buy nothing on device. The TPU-native data-parallel
+axis is the BATCH (SURVEY §2.5: thread-pool extraction → batched/vmapped
+kernels): with ``batch_size > 1`` a device-batch assembler accumulates
+submitted frames and runs ONE vmapped detect+describe program per batch
+(flushing on timeout for a latency bound), while cache probing/hashing
+stays on the caller thread. ``batch_size = 1`` keeps the reference-shaped
+thread-pool path for comparison (``benchmarks/benchmark_feature_control_plane.py``).
+
+Process isolation: the reference also offers ProcessPoolExecutor feature
+workers with (N,7) keypoint serialization for fault isolation
+(``feature_control_plane.py:248-319``). That path is deliberately NOT
+reproduced here: a forked/spawned worker cannot share the parent's TPU
+client (libtpu admits one process per chip), so process workers would
+each re-initialise a device runtime (~seconds) or silently fall back to
+CPU — both worse than the in-process batch program. Fault isolation for
+host-side decode (where crashes actually occur: codecs) lives in the
+ingestion process pool (``runtime/ingestion.py``); device faults surface
+as exceptions the breaker already handles. See PARITY.md §2.5.
 """
 
 from __future__ import annotations
 
 import hashlib
+import queue
 import threading
 import time
 from collections import OrderedDict
@@ -38,7 +55,15 @@ from mvslam_tpu.runtime.ingestion_control import (
 
 @dataclass(frozen=True)
 class FeatureControlConfig:
-    """Parity: ``feature_control_plane.py:30-61``."""
+    """Parity: ``feature_control_plane.py:30-61``.
+
+    ``batch_size > 1`` enables the device-batch assembler: up to
+    ``batch_size`` submitted frames are stacked and extracted by ONE
+    vmapped device program (the TPU data-parallel axis — SURVEY §2.5);
+    a partial batch flushes after ``flush_timeout_s`` so latency stays
+    bounded. ``batch_size = 1`` uses per-frame thread-pool workers
+    (the reference's shape, kept for comparison).
+    """
 
     num_workers: int = 2
     max_inflight: int = 8
@@ -46,6 +71,8 @@ class FeatureControlConfig:
     cache_ttl_s: float = 30.0
     breaker: CircuitBreakerConfig = CircuitBreakerConfig()
     base_seed: int = 0
+    batch_size: int = 4
+    flush_timeout_s: float = 0.005
 
 
 @dataclass
@@ -107,6 +134,19 @@ class _LruTtlCache:
                 self._items.popitem(last=False)
 
 
+@dataclass
+class _PendingItem:
+    """A submitted frame waiting in the device-batch assembler queue."""
+
+    seq_id: int
+    frame: np.ndarray
+    cache_key: str
+    future: Future
+
+
+_ASSEMBLER_STOP = object()
+
+
 class FeatureControlPlane:
     """submit → collect/drain supervised async feature extraction.
 
@@ -122,9 +162,18 @@ class FeatureControlPlane:
         self.config = config or FeatureControlConfig()
         self.feature_config = feature_config or FeaturePipelineConfig()
         self._pipeline = FeaturePipeline(self.feature_config)
-        self._executor = ThreadPoolExecutor(
-            max_workers=self.config.num_workers, thread_name_prefix="feature-worker"
-        )
+        self._batch_mode = self.config.batch_size > 1
+        if self._batch_mode:
+            self._executor = None
+            self._batch_queue: "queue.Queue[Any]" = queue.Queue()
+            self._assembler = threading.Thread(
+                target=self._run_assembler, name="feature-batch-assembler", daemon=True
+            )
+            self._assembler.start()
+        else:
+            self._executor = ThreadPoolExecutor(
+                max_workers=self.config.num_workers, thread_name_prefix="feature-worker"
+            )
         self._inflight = threading.Semaphore(self.config.max_inflight)
         self._cache = _LruTtlCache(self.config.cache_capacity, self.config.cache_ttl_s, clock)
         self.breaker = CircuitBreaker(self.config.breaker, clock=clock)
@@ -138,6 +187,8 @@ class FeatureControlPlane:
         self.completed = 0
         self.failed = 0
         self.rejected = 0
+        self.batches = 0
+        self.batch_frames = 0
         self._closed = False
 
     def warmup(self, frame: np.ndarray) -> None:
@@ -152,7 +203,13 @@ class FeatureControlPlane:
         import jax
         import jax.numpy as jnp
 
-        feats = self._pipeline.detect_and_describe(jnp.asarray(np.asarray(frame)))
+        if self._batch_mode:
+            stacked = np.broadcast_to(
+                np.asarray(frame), (self.config.batch_size, *np.asarray(frame).shape)
+            )
+            feats = self._pipeline.detect_and_describe_batch(jnp.asarray(stacked))
+        else:
+            feats = self._pipeline.detect_and_describe(jnp.asarray(np.asarray(frame)))
         jax.block_until_ready(feats.descriptors)
 
     # -- worker ----------------------------------------------------------
@@ -188,6 +245,103 @@ class FeatureControlPlane:
             self._latency.update(time.perf_counter() - start)
             self._inflight.release()
 
+    # -- device-batch assembler (SURVEY §2.5: the real DP axis) -----------
+
+    def _run_assembler(self) -> None:
+        """Accumulate up to ``batch_size`` frames, run ONE vmapped program.
+
+        Flush policy: a batch launches as soon as it is full, when
+        ``flush_timeout_s`` elapses after its first frame arrived (latency
+        bound), or when the next frame's shape differs (it starts the next
+        batch). Replaces the reference's per-frame thread-pool workers
+        (``feature_control_plane.py:283-319``) with the device batch axis.
+        """
+        carry: Optional[_PendingItem] = None
+        while True:
+            if carry is not None:
+                item, carry = carry, None
+            else:
+                try:
+                    item = self._batch_queue.get(timeout=0.05)
+                except queue.Empty:
+                    continue
+            if item is _ASSEMBLER_STOP:
+                return
+            batch = [item]
+            deadline = time.monotonic() + self.config.flush_timeout_s
+            stop = False
+            while len(batch) < self.config.batch_size:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._batch_queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is _ASSEMBLER_STOP:
+                    stop = True
+                    break
+                if nxt.frame.shape != batch[0].frame.shape:
+                    carry = nxt  # starts the next batch
+                    break
+                batch.append(nxt)
+            self._extract_batch(batch)
+            if stop:
+                return
+
+    def _extract_batch(self, batch: List[_PendingItem]) -> None:
+        import jax.numpy as jnp
+
+        start = time.perf_counter()
+        size = self.config.batch_size
+        try:
+            frames = np.stack([it.frame for it in batch])
+            if len(batch) < size:
+                # Pad to the compiled batch shape (one program, no
+                # per-fill recompiles); padded rows are discarded.
+                pad = np.broadcast_to(frames[-1:], (size - len(batch), *frames.shape[1:]))
+                frames = np.concatenate([frames, pad])
+            feats = self._pipeline.detect_and_describe_batch(jnp.asarray(frames))
+            xy = np.asarray(feats.xy)
+            desc = np.asarray(feats.descriptors)
+            valid = np.asarray(feats.valid)
+            for i, it in enumerate(batch):
+                result = FeatureResult(
+                    seq_id=it.seq_id,
+                    keypoints=xy[i],
+                    descriptors=desc[i],
+                    valid=valid[i],
+                    num_features=int(valid[i].sum()),
+                )
+                self._cache.put(it.cache_key, result)
+                it.future.set_result(result)
+            self.breaker.record_success()
+            self.batches += 1
+            self.batch_frames += len(batch)
+        except Exception as exc:
+            self.breaker.record_failure()
+            self.events.emit(
+                "feature_error",
+                message=str(exc),
+                seq_ids=[it.seq_id for it in batch],
+            )
+            for it in batch:
+                it.future.set_result(
+                    FeatureResult(
+                        seq_id=it.seq_id,
+                        keypoints=np.zeros((0, 2), np.float32),
+                        descriptors=np.zeros((0, 8), np.uint32),
+                        valid=np.zeros(0, bool),
+                        num_features=0,
+                        error=f"{type(exc).__name__}: {exc}",
+                    )
+                )
+        finally:
+            elapsed = time.perf_counter() - start
+            for it in batch:
+                self._latency.update(elapsed)
+                self._inflight.release()
+
     # -- public ------------------------------------------------------------
 
     def submit(self, seq_id: int, frame: np.ndarray, timeout: Optional[float] = 5.0) -> bool:
@@ -221,9 +375,15 @@ class FeatureControlPlane:
             self.rejected += 1
             self.events.emit("submit_rejected", message="backpressure", seq_id=seq_id)
             return False
-        future = self._executor.submit(self._extract, seq_id, frame, cache_key)
-        with self._lock:
-            self._futures[seq_id] = future
+        if self._batch_mode:
+            future: Future = Future()
+            with self._lock:
+                self._futures[seq_id] = future
+            self._batch_queue.put(_PendingItem(seq_id, frame, cache_key, future))
+        else:
+            future = self._executor.submit(self._extract, seq_id, frame, cache_key)
+            with self._lock:
+                self._futures[seq_id] = future
         self.submitted += 1
         return True
 
@@ -273,7 +433,11 @@ class FeatureControlPlane:
 
     def close(self) -> None:
         self._closed = True
-        self._executor.shutdown(wait=True, cancel_futures=False)
+        if self._batch_mode:
+            self._batch_queue.put(_ASSEMBLER_STOP)
+            self._assembler.join(timeout=60.0)
+        else:
+            self._executor.shutdown(wait=True, cancel_futures=False)
 
     # -- observability -------------------------------------------------------
 
@@ -292,6 +456,9 @@ class FeatureControlPlane:
             "cache_misses": self._cache.misses,
             "breaker_state": self.breaker.state,
             "breaker_trips": self.breaker.trip_count,
+            "batch_mode": self._batch_mode,
+            "batches": self.batches,
+            "mean_batch_fill": (self.batch_frames / self.batches) if self.batches else 0.0,
             "latency": self._latency.summary(),
         }
 

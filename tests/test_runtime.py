@@ -383,6 +383,75 @@ class TestFeatureTrackingPlanes:
         assert plane.health_snapshot()["cache_hits"] == 1
         plane.close()
 
+    def test_batch_assembler_matches_batch_api(self):
+        """Batch-mode results equal the vmapped pipeline API outputs, and
+        a partial batch (3 frames, batch_size 4) flushes on timeout."""
+        import jax.numpy as jnp
+
+        from mvslam_tpu.frontend.feature_pipeline import FeaturePipeline, FeaturePipelineConfig
+        from mvslam_tpu.runtime.feature_plane import FeatureControlConfig, FeatureControlPlane
+
+        fc = FeaturePipelineConfig(num_features=64, max_matches=32)
+        plane = FeatureControlPlane(
+            fc, FeatureControlConfig(batch_size=4, flush_timeout_s=0.05)
+        )
+        frames = self._frames()[:3]
+        for i, f in enumerate(frames):
+            assert plane.submit(i, f)
+        results = plane.collect(timeout=60.0)
+        assert [r.seq_id for r in results] == [0, 1, 2]
+        health = plane.health_snapshot()
+        assert health["batch_mode"] and health["batches"] >= 1
+        assert health["mean_batch_fill"] <= 4.0
+        plane.close()
+
+        direct = FeaturePipeline(fc).detect_and_describe_batch(jnp.asarray(np.stack(frames)))
+        for i, r in enumerate(results):
+            np.testing.assert_array_equal(r.keypoints, np.asarray(direct.xy)[i])
+            np.testing.assert_array_equal(r.descriptors, np.asarray(direct.descriptors)[i])
+            np.testing.assert_array_equal(r.valid, np.asarray(direct.valid)[i])
+
+    def test_batch_assembler_error_marks_all_frames(self):
+        from mvslam_tpu.frontend.feature_pipeline import FeaturePipelineConfig
+        from mvslam_tpu.runtime.feature_plane import FeatureControlConfig, FeatureControlPlane
+
+        plane = FeatureControlPlane(
+            FeaturePipelineConfig(num_features=64, max_matches=32),
+            FeatureControlConfig(batch_size=2, flush_timeout_s=0.02),
+        )
+
+        def boom(frames):
+            raise RuntimeError("device fell over")
+
+        plane._pipeline.detect_and_describe_batch = boom
+        frames = self._frames()[:2]
+        for i, f in enumerate(frames):
+            assert plane.submit(i, f)
+        results = plane.collect(timeout=30.0)
+        assert len(results) == 2
+        assert all(not r.ok and "device fell over" in r.error for r in results)
+        assert plane.health_snapshot()["failed"] == 2
+        assert any(e["type"] == "feature_error" for e in plane.stage_events())
+        plane.close()
+
+    def test_batch_assembler_shape_change_starts_new_batch(self):
+        from mvslam_tpu.frontend.feature_pipeline import FeaturePipelineConfig
+        from mvslam_tpu.runtime.feature_plane import FeatureControlConfig, FeatureControlPlane
+
+        plane = FeatureControlPlane(
+            FeaturePipelineConfig(num_features=64, max_matches=32),
+            FeatureControlConfig(batch_size=4, flush_timeout_s=0.2),
+        )
+        small = self._frames(2)
+        big = [np.pad(f, ((0, 32), (0, 0))) for f in self._frames(2)]
+        for i, f in enumerate(small + big):
+            assert plane.submit(i, f)
+        results = plane.collect(timeout=120.0)
+        assert [r.seq_id for r in results] == [0, 1, 2, 3]
+        assert all(r.ok for r in results)
+        assert plane.health_snapshot()["batches"] == 2
+        plane.close()
+
     def test_tracking_plane_pairs_results(self):
         from mvslam_tpu.frontend.feature_pipeline import FeaturePipelineConfig
         from mvslam_tpu.runtime.feature_plane import FeatureControlConfig, FeatureControlPlane
