@@ -33,6 +33,47 @@ def emit(metric: str, value: float, unit: str, **extra) -> None:
     print(json.dumps({"metric": metric, "value": round(float(value), 6), "unit": unit, **extra}))
 
 
+def ensure_live_backend(probe_timeout_s: float = 45.0) -> str:
+    """Force the CPU backend when the default device backend is unreachable.
+
+    The tunneled TPU's ``jax.devices()`` hangs indefinitely when the link
+    is down, so device benchmarks must probe liveness in a killable child
+    BEFORE their first jax device use (same pattern as bench.py).  Returns
+    the backend name that will be used.  Set ``MVSLAM_BENCH_PLATFORM`` to
+    skip the probe and pin a platform explicitly.
+    """
+    import os
+    import subprocess
+    import sys
+
+    pinned = os.environ.get("MVSLAM_BENCH_PLATFORM")
+    if pinned:
+        import jax
+
+        jax.config.update("jax_platforms", pinned)
+        return pinned
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+            capture_output=True,
+            text=True,
+            timeout=probe_timeout_s,
+        )
+        alive = out.returncode == 0 and int(out.stdout.strip().splitlines()[-1]) >= 1
+    except Exception:
+        alive = False
+    import jax
+
+    if not alive:
+        print(
+            json.dumps({"warning": "default backend unreachable; forcing cpu"}),
+            flush=True,
+        )
+        jax.config.update("jax_platforms", "cpu")
+        return "cpu"
+    return jax.default_backend()
+
+
 def run_benchmark(
     name: str,
     workload: Callable[[], Any],

@@ -38,8 +38,7 @@ from mvslam_tpu.geometry.projection import normalize_pixels
 from mvslam_tpu.ops.ransac import (
     RansacConfig,
     adaptive_ransac_threshold,
-    ransac_essential,
-    ransac_homography,
+    ransac_dual_model,
 )
 
 
@@ -184,15 +183,29 @@ def estimate_pose_device(
         min_inliers=config.min_inliers,
         refit_rounds=config.refit_rounds,
     )
-    res_e = ransac_essential(key_e, n1, n2, mask, ransac_cfg, threshold=e_thresh_px / fx)
-    res_h = ransac_homography(key_h, n1, n2, mask, ransac_cfg_h, threshold=h_thresh / fx)
+    # E + H hypothesis batches, refits, and scoring run as ONE fused
+    # solver chain (see ops/ransac.py::ransac_dual_model — the stage is
+    # latency-bound, so halving the sequential op chain matters more than
+    # any FLOP count here).
+    dual = ransac_dual_model(
+        key_e, key_h, n1, n2, mask, ransac_cfg, ransac_cfg_h,
+        threshold_e=e_thresh_px / fx, threshold_h=h_thresh / fx,
+    )
+    res_e, res_h = dual.essential, dual.homography
 
     w_e = res_e.inliers.astype(jnp.float32)
     R_e, t_e, _ = decompose_essential(res_e.model, n1, n2, weights=w_e)
-    par_e, che_e = _parallax_and_cheirality(R_e, t_e, n1, n2, res_e.inliers)
-
     R_h, t_h, _ = decompose_homography(res_h.model, n1, n2)
-    par_h, che_h = _parallax_and_cheirality(R_h, t_h, n1, n2, res_h.inliers)
+    # Both models' triangulation/parallax statistics as one batched chain.
+    par, che = jax.vmap(_parallax_and_cheirality, in_axes=(0, 0, None, None, 0))(
+        jnp.stack([R_e, R_h]),
+        jnp.stack([t_e, t_h]),
+        n1,
+        n2,
+        jnp.stack([res_e.inliers, res_h.inliers]),
+    )
+    par_e, par_h = par[0], par[1]
+    che_e, che_h = che[0], che[1]
 
     min_par = jnp.asarray(config.min_parallax_deg, jnp.float32)
     score_e = jnp.where(

@@ -77,6 +77,39 @@ def _smallest_singular_vector(A: jnp.ndarray, rescue: bool = True) -> jnp.ndarra
     return smallest_eigvec_psd(_gram_tree(A), rescue=rescue)
 
 
+def essential_rows(
+    pts1: jnp.ndarray, pts2: jnp.ndarray, weights: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Constraint rows of the 8-point system: (..., N, 9), one
+    ``kron(x2, x1)`` row per correspondence so that x2ᵀ E x1 = 0."""
+    x1 = _homogeneous(pts1)
+    x2 = _homogeneous(pts2)
+    A = (x2[..., :, :, None] * x1[..., :, None, :]).reshape(*x1.shape[:-1], 9)
+    if weights is not None:
+        A = A * weights[..., None]
+    return A
+
+
+def essential_from_vec(e: jnp.ndarray, exact_rank2: bool) -> jnp.ndarray:
+    """E (..., 3, 3) from the null-space vector (..., 9).
+
+    ``exact_rank2=False`` (hypothesis batches): enforce only rank 2 by
+    projecting out the smallest right-singular direction, E(I − v₃v₃ᵀ).
+    Sampson scoring is scale-invariant and true essentials have σ₁ = σ₂,
+    so the (1,1,0) renormalisation is indistinguishable for vote counting
+    — but jnp.linalg.svd on a (K,3,3) batch is Jacobi sweeps and costs
+    ~3.5 ms at K=512 where this projection costs ~0.3 ms. Refits and
+    decomposition keep the exact constraint (``exact_rank2=True``).
+    """
+    E = e.reshape(*e.shape[:-1], 3, 3)
+    if not exact_rank2:
+        v3 = smallest_eigvec_psd(jnp.swapaxes(E, -1, -2) @ E, rescue=False)
+        return E - (E @ v3[..., :, None]) * v3[..., None, :]
+    U, _, Vt = jnp.linalg.svd(E)
+    S = jnp.asarray([1.0, 1.0, 0.0], dtype=E.dtype)
+    return U @ (S[..., :, None] * Vt)
+
+
 def eight_point_essential(
     pts1: jnp.ndarray, pts2: jnp.ndarray, weights: jnp.ndarray | None = None
 ) -> jnp.ndarray:
@@ -87,29 +120,11 @@ def eight_point_essential(
     dynamic shapes. Returns (..., 3, 3) with the rank-2 constraint
     (singular values 1, 1, 0) enforced.
     """
-    x1 = _homogeneous(pts1)
-    x2 = _homogeneous(pts2)
-    # Row per correspondence: kron(x2, x1) so that x2ᵀ E x1 = 0.
-    A = (x2[..., :, :, None] * x1[..., :, None, :]).reshape(*x1.shape[:-1], 9)
-    if weights is not None:
-        A = A * weights[..., None]
+    A = essential_rows(pts1, pts2, weights)
     # Refits (weights given) poison the final model on NaN -> rescue;
     # hypothesis batches just lose one vote -> skip the extra inversion.
     e = _smallest_singular_vector(A, rescue=weights is not None)
-    E = e.reshape(*e.shape[:-1], 3, 3)
-    if weights is None:
-        # Hypothesis batch: enforce only rank 2 by projecting out the
-        # smallest right-singular direction, E(I − v₃v₃ᵀ). Sampson scoring
-        # is scale-invariant and true essentials have σ₁ = σ₂, so the
-        # (1,1,0) renormalisation is indistinguishable for vote counting —
-        # but jnp.linalg.svd on a (K,3,3) batch is Jacobi sweeps and costs
-        # ~3.5 ms at K=512 where this projection costs ~0.3 ms. Refits and
-        # decomposition below keep the exact constraint.
-        v3 = smallest_eigvec_psd(jnp.swapaxes(E, -1, -2) @ E, rescue=False)
-        return E - (E @ v3[..., :, None]) * v3[..., None, :]
-    U, _, Vt = jnp.linalg.svd(E)
-    S = jnp.asarray([1.0, 1.0, 0.0], dtype=E.dtype)
-    return U @ (S[..., :, None] * Vt)
+    return essential_from_vec(e, exact_rank2=weights is not None)
 
 
 def sampson_error(E: jnp.ndarray, pts1: jnp.ndarray, pts2: jnp.ndarray) -> jnp.ndarray:
@@ -202,15 +217,10 @@ def triangulate_normalized(
 # ---------------------------------------------------------------------------
 
 
-def dlt_homography(
+def homography_rows(
     pts1: jnp.ndarray, pts2: jnp.ndarray, weights: jnp.ndarray | None = None
-) -> jnp.ndarray:
-    """Hartley-normalised DLT homography from ≥4 correspondences (batched).
-
-    pts1, pts2: (..., N, 2), N ≥ 4. Optional ``weights`` (..., N) scale the
-    constraint rows (masked inlier refit). Returns (..., 3, 3) with
-    H[2,2] = 1. Parity: ``homography.py:118-142``.
-    """
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Hartley-normalised DLT constraint rows: ((..., 2N, 9), T1, T2)."""
     n1, T1 = hartley_normalization(pts1, weights)
     n2, T2 = hartley_normalization(pts2, weights)
     x, y = n1[..., 0], n1[..., 1]
@@ -222,12 +232,29 @@ def dlt_homography(
     if weights is not None:
         row1 = row1 * weights[..., None]
         row2 = row2 * weights[..., None]
-    A = jnp.concatenate([row1, row2], axis=-2)
-    h = _smallest_singular_vector(A, rescue=weights is not None)
+    return jnp.concatenate([row1, row2], axis=-2), T1, T2
+
+
+def homography_from_vec(h: jnp.ndarray, T1: jnp.ndarray, T2: jnp.ndarray) -> jnp.ndarray:
+    """H (..., 3, 3) from the null-space vector (..., 9), denormalised."""
     Hn = h.reshape(*h.shape[:-1], 3, 3)
     H = inv3x3(T2) @ Hn @ T1
     scale = H[..., 2:3, 2:3]
     return H / jnp.where(jnp.abs(scale) < 1e-12, 1e-12, scale)
+
+
+def dlt_homography(
+    pts1: jnp.ndarray, pts2: jnp.ndarray, weights: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Hartley-normalised DLT homography from ≥4 correspondences (batched).
+
+    pts1, pts2: (..., N, 2), N ≥ 4. Optional ``weights`` (..., N) scale the
+    constraint rows (masked inlier refit). Returns (..., 3, 3) with
+    H[2,2] = 1. Parity: ``homography.py:118-142``.
+    """
+    A, T1, T2 = homography_rows(pts1, pts2, weights)
+    h = _smallest_singular_vector(A, rescue=weights is not None)
+    return homography_from_vec(h, T1, T2)
 
 
 def symmetric_transfer_error(H: jnp.ndarray, pts1: jnp.ndarray, pts2: jnp.ndarray) -> jnp.ndarray:

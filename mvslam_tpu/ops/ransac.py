@@ -25,8 +25,13 @@ import jax
 import jax.numpy as jnp
 
 from mvslam_tpu.geometry.epipolar import (
+    _smallest_singular_vector,
     dlt_homography,
     eight_point_essential,
+    essential_from_vec,
+    essential_rows,
+    homography_from_vec,
+    homography_rows,
     sampson_error,
     symmetric_transfer_error,
 )
@@ -167,6 +172,109 @@ def ransac_homography(
         sample_size=4,
         threshold=threshold,
         hypothesis_sharding=hypothesis_sharding,
+    )
+
+
+class DualRansacResult(NamedTuple):
+    essential: RansacResult
+    homography: RansacResult
+
+
+def ransac_dual_model(
+    key_e,
+    key_h,
+    pts1: jnp.ndarray,
+    pts2: jnp.ndarray,
+    mask: jnp.ndarray,
+    config_e: RansacConfig,
+    config_h: RansacConfig,
+    threshold_e=None,
+    threshold_h=None,
+) -> DualRansacResult:
+    """Essential + homography RANSAC fused into ONE solver chain.
+
+    Running :func:`ransac_essential` and :func:`ransac_homography`
+    back-to-back costs two full sequential solve chains (gram → 9×9
+    Gauss-Jordan inverse → 10 inverse-iteration matvecs) plus four refit
+    chains — and the dual-model stage is latency-bound, not compute-bound
+    (docs/PERF.md: ~0.08 GFLOP across 2.5 ms). Both minimal solvers reduce
+    to the same shape of work — E contributes one ``kron`` row per
+    correspondence (8 rows/sample), H two DLT rows per correspondence
+    (2×4 rows/sample) — so the K_e + K_h hypothesis systems are solved as
+    ONE batched (K_e+K_h, 8, 9) null-space problem, and each IRLS round
+    solves both models' refits as one (2, 2N, 9) problem (the E rows
+    zero-padded from N to 2N: zero rows leave AᵀA unchanged). Scoring
+    stays per-model (Sampson vs symmetric transfer).
+
+    Sampling, thresholds, vote counting, and refit gating are bit-identical
+    to the single-model entry points given the same keys. Used by the
+    fused tracking step; the product path shards the *frame* axis of the
+    superwindow, so no hypothesis-sharding argument here (see
+    ``parallel/mesh.py`` for hypothesis-sharded single-model RANSAC).
+
+    Parity: ``robust_pose_estimator.py:89-134`` runs both model estimates
+    per frame; ``homography.py:302-345`` / ``homography.py:148-216``.
+    """
+    thresh_e = config_e.threshold if threshold_e is None else threshold_e
+    thresh_h = config_h.threshold if threshold_h is None else threshold_h
+    thr2_e = jnp.square(jnp.asarray(thresh_e, dtype=pts1.dtype))
+    thr2_h = jnp.square(jnp.asarray(thresh_h, dtype=pts1.dtype))
+    num_valid = jnp.sum(mask)
+    k_e, k_h = config_e.num_hypotheses, config_h.num_hypotheses
+
+    idx_e = _sample_indices(key_e, mask, k_e, 8)  # (K_e, 8)
+    idx_h = _sample_indices(key_h, mask, k_h, 4)  # (K_h, 4)
+    rows_e = essential_rows(pts1[idx_e], pts2[idx_e])  # (K_e, 8, 9)
+    rows_h, T1, T2 = homography_rows(pts1[idx_h], pts2[idx_h])  # (K_h, 8, 9)
+    # One null-space chain for ALL hypotheses of both models. rescue=False:
+    # a numerically-failed hypothesis merely loses its RANSAC vote.
+    vecs = _smallest_singular_vector(
+        jnp.concatenate([rows_e, rows_h], axis=0), rescue=False
+    )
+    models_e = essential_from_vec(vecs[:k_e], exact_rank2=False)
+    models_h = homography_from_vec(vecs[k_e:], T1, T2)
+
+    err_e = sampson_error(models_e, pts1[None], pts2[None])  # (K_e, N)
+    err_h = symmetric_transfer_error(models_h, pts1[None], pts2[None])  # (K_h, N)
+    inl_e = (err_e < thr2_e) & mask[None, :]
+    inl_h = (err_h < thr2_h) & mask[None, :]
+    best_e = jnp.argmax(jnp.sum(inl_e, axis=1))
+    best_h = jnp.argmax(jnp.sum(inl_h, axis=1))
+
+    model_e, inliers_e = models_e[best_e], inl_e[best_e]
+    model_h, inliers_h = models_h[best_h], inl_h[best_h]
+    rounds = max(config_e.refit_rounds, config_h.refit_rounds)
+    for r in range(rounds):
+        w_e = inliers_e.astype(pts1.dtype)
+        w_h = inliers_h.astype(pts1.dtype)
+        re = essential_rows(pts1, pts2, w_e)  # (N, 9)
+        rh, T1f, T2f = homography_rows(pts1, pts2, w_h)  # (2N, 9)
+        re_padded = jnp.concatenate([re, jnp.zeros_like(re)], axis=0)
+        # One chain for both refits; rescue=True — a poisoned refit would
+        # poison the frame's final model.
+        v2 = _smallest_singular_vector(jnp.stack([re_padded, rh]), rescue=True)
+        refit_e = essential_from_vec(v2[0], exact_rank2=True)
+        refit_h = homography_from_vec(v2[1], T1f, T2f)
+        if r < config_e.refit_rounds:
+            model_e = jnp.where(jnp.sum(w_e) >= 8, refit_e, model_e)
+            inliers_e = (sampson_error(model_e[None], pts1[None], pts2[None])[0] < thr2_e) & mask
+        if r < config_h.refit_rounds:
+            model_h = jnp.where(jnp.sum(w_h) >= 4, refit_h, model_h)
+            inliers_h = (
+                symmetric_transfer_error(model_h[None], pts1[None], pts2[None])[0] < thr2_h
+            ) & mask
+
+    def _result(model, inliers, cfg, sample_size):
+        count = jnp.sum(inliers)
+        ratio = count / jnp.maximum(num_valid, 1)
+        success = (count >= cfg.min_inliers) & (num_valid >= sample_size)
+        return RansacResult(
+            model, inliers, count.astype(jnp.int32), ratio.astype(jnp.float32), success
+        )
+
+    return DualRansacResult(
+        essential=_result(model_e, inliers_e, config_e, 8),
+        homography=_result(model_h, inliers_h, config_h, 4),
     )
 
 

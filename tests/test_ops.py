@@ -18,6 +18,7 @@ from mvslam_tpu.ops.image import gaussian_blur, rgb_to_gray
 from mvslam_tpu.ops.ransac import (
     RansacConfig,
     adaptive_ransac_threshold,
+    ransac_dual_model,
     ransac_essential,
     ransac_homography,
 )
@@ -257,6 +258,29 @@ class TestRansac:
         gt[out] = False
         found = np.asarray(res.inliers)
         assert (found & gt).sum() > 0.85 * gt.sum()
+
+    def test_dual_model_bit_identical_to_single_model(self):
+        """The fused E+H solver chain must reproduce the single-model entry
+        points bit-for-bit given the same keys (the docstring's contract)."""
+        uv1, uv2, R, t, K, _ = synthetic_correspondences(seed=5)
+        Kj = jnp.asarray(K, jnp.float32)
+        n1 = normalize_pixels(jnp.asarray(uv1, jnp.float32), Kj)
+        n2 = normalize_pixels(jnp.asarray(uv2, jnp.float32), Kj)
+        mask = jnp.ones(len(uv1), dtype=bool)
+        key_e, key_h = jax.random.key(11), jax.random.key(13)
+        cfg_e = RansacConfig(num_hypotheses=128, threshold=2.0 / 500.0)
+        cfg_h = RansacConfig(num_hypotheses=64, threshold=4.0 / 500.0, refit_rounds=1)
+        res_e = ransac_essential(key_e, n1, n2, mask, cfg_e)
+        res_h = ransac_homography(key_h, n1, n2, mask, cfg_h)
+        dual = jax.jit(
+            ransac_dual_model, static_argnames=("config_e", "config_h")
+        )(key_e, key_h, n1, n2, mask, cfg_e, cfg_h)
+        assert np.array_equal(np.asarray(dual.essential.model), np.asarray(res_e.model))
+        assert np.array_equal(np.asarray(dual.essential.inliers), np.asarray(res_e.inliers))
+        assert np.array_equal(np.asarray(dual.homography.model), np.asarray(res_h.model))
+        assert np.array_equal(np.asarray(dual.homography.inliers), np.asarray(res_h.inliers))
+        assert bool(dual.essential.success) == bool(res_e.success)
+        assert bool(dual.homography.success) == bool(res_h.success)
 
     def test_too_few_points_fails_gracefully(self):
         pts = jnp.zeros((16, 2), dtype=jnp.float32)
