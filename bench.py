@@ -86,7 +86,8 @@ def bench_tpu(frames, window: int = WINDOW, windows_per_dispatch: int = WINDOWS_
             window=window, start_index=jnp.asarray(start, jnp.int32),
         )
 
-    # Warmup/compile (persistent compilation cache makes reruns cheap).
+    # Warmup/compile (always a fresh compile on axon — the persistent
+    # cache is disabled there because deserialized executables deadlock).
     prev = bootstrap_frame(first, fc)
     feats_last, track = dispatch(prev, chunks[0], 1)
     pull_scalars(track)
@@ -150,11 +151,38 @@ def bench_cpu_reference(frames) -> float:
 # probe so a dead tunnel produces a legible {"tunnel_down": true} artifact
 # in ~30 s instead of burning the deadline, and marks a 0.0 value as
 # status="error" so it cannot be ingested as a measured throughput.
+# Round 4 (VERDICT r3 item 1) — root cause of the r1–r3 failures FOUND:
+# executables deserialized from the persistent compile cache DEADLOCK at
+# first execution on the tunneled axon runtime (reproduced 3/3; a killed
+# deadlocked client can wedge the chip for minutes afterwards). Every
+# child pass that got a cache HIT hung silently until its timeout. Fixes:
+# (a) mvslam_tpu disables the persistent cache on axon entirely, so runs
+#     always fresh-compile (slow but correct);
+# (b) fresh child processes are GONE — with no cache each child would pay
+#     the full multi-minute tunnel compile. Everything runs in-process:
+#     pass 1 compiles (untimed) and measures with fast-path uploads; spare
+#     time buys repeat passes (programs stay compiled) and best-of wins;
+# (c) the probe now EXECUTES a matmul in a killable child (a wedged chip
+#     enumerates devices fine but hangs on execution);
+# (d) every failure path leaves evidence — tracebacks go into the emitted
+#     JSON (``error`` field) and ``bench_forensics.log``.
 OVERALL_DEADLINE_S = 390.0
-CHILD_TIMEOUT_S = 200.0
-PROBE_TIMEOUT_S = 30.0
+PROBE_TIMEOUT_S = 45.0
 MAX_PASSES = 3
-_state = {"best_fps": 0.0, "emitted": False}
+_state = {"best_fps": 0.0, "emitted": False, "errors": [], "passes": []}
+
+
+def _record_error(source: str, detail: str) -> None:
+    """Append failure evidence to state + bench_forensics.log (r3 item 1a)."""
+    tail = detail.strip()[-1200:]
+    _state["errors"].append({"source": source, "detail": tail})
+    try:
+        import pathlib
+
+        with open(pathlib.Path(__file__).parent / "bench_forensics.log", "a") as fh:
+            fh.write(f"--- {source} @ {time.strftime('%Y-%m-%d %H:%M:%S')} ---\n{tail}\n")
+    except Exception:
+        pass
 
 
 def _emit(tpu_fps: float, cpu_fps: float, **extra) -> None:
@@ -169,20 +197,31 @@ def _emit(tpu_fps: float, cpu_fps: float, **extra) -> None:
     }
     if tpu_fps <= 0.0:
         # Not a measurement: no pass ever completed. Downstream tooling
-        # must not ingest 0.0 as a throughput (ADVICE r2).
+        # must not ingest 0.0 as a throughput (ADVICE r2), and the
+        # artifact must say WHY (VERDICT r3 item 1).
         payload["status"] = "error"
+    if _state["passes"]:
+        payload["passes"] = _state["passes"]
+    if _state["errors"]:
+        payload["error"] = _state["errors"][-1]["detail"][-400:]
+        payload["error_sources"] = [e["source"] for e in _state["errors"]]
     payload.update(extra)
     print(json.dumps(payload), flush=True)
 
 
 def _probe_tunnel() -> bool:
-    """True iff a fresh subprocess can enumerate TPU devices within
-    PROBE_TIMEOUT_S.  `jax.devices()` hangs indefinitely when the axon
-    tunnel is down, so the probe must live in a killable child."""
+    """True iff a fresh subprocess can EXECUTE a device program within
+    PROBE_TIMEOUT_S. `jax.devices()` hangs when the tunnel is down but
+    succeeds on a wedged chip, so the probe must run real compute — and it
+    must live in a killable child because both failure modes hang forever."""
     import subprocess
     import sys
 
-    code = "import jax; print(len(jax.devices()))"
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((256, 256));"
+        "print(float((x @ x).sum()))"
+    )
     try:
         out = subprocess.run(
             [sys.executable, "-c", code],
@@ -190,59 +229,15 @@ def _probe_tunnel() -> bool:
             text=True,
             timeout=PROBE_TIMEOUT_S,
         )
-        return out.returncode == 0 and int(out.stdout.strip().splitlines()[-1]) >= 1
+        return out.returncode == 0 and float(out.stdout.strip().splitlines()[-1]) > 0
     except Exception:
         return False
 
 
-def _run_child_passes(deadline: float) -> float:
-    """Best TPU fps over up to MAX_PASSES FRESH subprocesses, run serially
-    (the tunneled chip serialises clients), all bounded by ``deadline``.
-
-    The tunnel's bulk host→device path is bimodal: a process's uploads run
-    at ~0.5-1.3 GB/s until its first program execution, ~35 MB/s after.
-    Within one process only the FIRST pass can hit the fast path, and
-    whether it does also depends on transient tunnel load — so each pass
-    gets its own process (compile is served from the persistent cache
-    after the first), and the best pass is reported.
-    """
-    import os
-    import subprocess
-    import sys
-
-    for attempt in range(MAX_PASSES):
-        remaining = deadline - time.perf_counter()
-        if attempt and _state["best_fps"] > 0.0:
-            if remaining < CHILD_TIMEOUT_S * 0.5:
-                break  # keep what we have rather than risk the budget
-            time.sleep(min(8.0, remaining * 0.05))  # congestion often clears
-        if remaining < 30.0:
-            break
-        env = dict(os.environ, MVSLAM_BENCH_CHILD="1")
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env,
-                capture_output=True,
-                text=True,
-                timeout=min(CHILD_TIMEOUT_S, remaining),
-            )
-            line = out.stdout.strip().splitlines()[-1]
-            _state["best_fps"] = max(_state["best_fps"], float(json.loads(line)["fps"]))
-        except Exception:
-            continue
-    return _state["best_fps"]
-
-
 def main() -> None:
-    import os
     import signal
 
     frames = make_frames(NUM_FRAMES)
-    if os.environ.get("MVSLAM_BENCH_CHILD"):
-        print(json.dumps({"fps": round(bench_tpu(frames), 2)}))
-        return
-
     deadline = time.perf_counter() + OVERALL_DEADLINE_S
     # Measure the cv2 denominator FIRST (fast, pure CPU) so a best-so-far
     # emission on timeout still carries a real vs_baseline ratio.
@@ -252,6 +247,7 @@ def main() -> None:
         cpu_fps = FALLBACK_CPU_BASELINE_FPS
 
     def _bail(signum, _frame):  # driver's `timeout` sends SIGTERM first
+        _record_error("signal", f"signal {signum} before completion (deadline/hang)")
         _emit(_state["best_fps"], cpu_fps)
         raise SystemExit(0)
 
@@ -260,19 +256,31 @@ def main() -> None:
     signal.alarm(int(OVERALL_DEADLINE_S) + 30)  # in-process hang backstop
 
     if not _probe_tunnel():
-        # Dead tunnel: emit a legible diagnostic immediately instead of
-        # burning the deadline on child passes that can only time out.
+        # Dead or wedged chip: emit a legible diagnostic in ~45 s instead
+        # of burning the deadline on a pass that can only hang.
         _emit(0.0, cpu_fps, tunnel_down=True)
         return
 
-    try:
-        tpu_fps = _run_child_passes(deadline)
-        if tpu_fps <= 0.0:  # subprocess path unavailable — one in-process pass
-            tpu_fps = bench_tpu(frames)
-            _state["best_fps"] = tpu_fps
-    except Exception:
-        tpu_fps = _state["best_fps"]
-    _emit(tpu_fps, cpu_fps)
+    # All passes run IN-PROCESS (no persistent cache on axon — a fresh
+    # process would pay the full multi-minute tunnel compile; and cache
+    # hits deadlock, see header). Pass 1 compiles inside bench_tpu (warmup,
+    # untimed) and measures with fast-path uploads (uploads precede the
+    # first program execution). Later passes reuse the compiled programs —
+    # nearly free — and catch transient tunnel congestion; best-of wins.
+    for attempt in range(MAX_PASSES):
+        remaining = deadline - time.perf_counter()
+        if attempt and (remaining < 60.0 or _state["best_fps"] <= 0.0):
+            break
+        try:
+            fps = bench_tpu(frames)
+            _state["passes"].append({"pass": f"in_process_{attempt}", "fps": round(fps, 2)})
+            _state["best_fps"] = max(_state["best_fps"], fps)
+        except Exception:
+            import traceback
+
+            _record_error(f"in_process_{attempt}", traceback.format_exc())
+            break
+    _emit(_state["best_fps"], cpu_fps)
 
 
 if __name__ == "__main__":

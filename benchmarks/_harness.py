@@ -30,7 +30,14 @@ def measured(report: Dict[str, Any]):
 
 
 def emit(metric: str, value: float, unit: str, **extra) -> None:
-    print(json.dumps({"metric": metric, "value": round(float(value), 6), "unit": unit, **extra}))
+    # flush=True: each metric line must reach the pipe the moment it is
+    # measured — piped stdout is block-buffered, and a later stage timing
+    # out (or the driver's `timeout` killing the script) must not destroy
+    # the evidence of the stages that DID complete (VERDICT r3 item 6).
+    print(
+        json.dumps({"metric": metric, "value": round(float(value), 6), "unit": unit, **extra}),
+        flush=True,
+    )
 
 
 def ensure_live_backend(probe_timeout_s: float = 45.0) -> str:

@@ -44,6 +44,9 @@ def _scan_loop(step_fn, image, passes: int):
 
 
 def main(passes: int = 200):
+    from benchmarks._harness import ensure_live_backend
+
+    ensure_live_backend()
     import jax
     import jax.numpy as jnp
 

@@ -40,9 +40,19 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compilation cache: CLI entry points are separate processes, and
 # first-compile over a tunneled TPU costs minutes. Opt out with
 # MVSLAM_JAX_CACHE_DIR="".
-_cache_dir = _os.environ.get(
-    "MVSLAM_JAX_CACHE_DIR", _os.path.expanduser("~/.cache/mvslam_tpu_jax")
-)
+#
+# DISABLED for the tunneled `axon` backend (round 4): executables
+# deserialized from the persistent cache DEADLOCK at their first device
+# execution on that runtime — reproduced 3/3 on a freshly-written entry
+# (write-compile runs fine, reload of the same entry hangs forever and can
+# wedge the chip for every subsequent client). Fresh compiles are slow but
+# correct, so on axon we always compile. This was the silent killer behind
+# the r1–r3 driver-bench timeouts: any bench child that got a cache HIT
+# deadlocked with zero stderr. Force the cache on at your own risk with
+# MVSLAM_JAX_CACHE_DIR=<dir>.
+_cache_dir = _os.environ.get("MVSLAM_JAX_CACHE_DIR")
+if _cache_dir is None and not _os.environ.get("JAX_PLATFORMS", "").startswith("axon"):
+    _cache_dir = _os.path.expanduser("~/.cache/mvslam_tpu_jax")
 if _cache_dir:
     try:
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)

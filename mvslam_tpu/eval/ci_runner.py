@@ -70,7 +70,17 @@ async def run_ci_suite(
     config_paths: List[Path],
     weights: Optional[SeverityWeights] = None,
     max_concurrency: int = 2,
+    governance_config: Optional[Path] = None,
 ) -> Dict[str, Any]:
+    """Accuracy gate + optional PERF gate in one CI verdict.
+
+    ``governance_config`` (VERDICT r3 item 4): a ``eval.governance`` config
+    (e.g. ``configs/evaluation/perf_gate.json``) whose benchmark metrics are
+    compared against a committed baseline store — a kernel/pipeline perf
+    regression then fails CI exactly like an ATE regression. Parity: the
+    reference separates these layers too (``benchmark_ci_runner.py`` over
+    ``benchmark_governance.py``); here they roll into one suite status.
+    """
     weights = weights or SeverityWeights()
     gate = await execute_gate(config_paths, max_concurrency, fail_fast=False)
     # Re-load run summaries for severity scoring.
@@ -85,11 +95,32 @@ async def run_ci_suite(
                 severity = score_run(json.loads(summary_path.read_text()), weights)
         total_severity += severity
         runs.append({**run, "severity": severity})
-    return {
+    summary: Dict[str, Any] = {
         "status": gate["status"],
         "total_severity": total_severity,
         "runs": runs,
     }
+    if governance_config is not None:
+        from mvslam_tpu.eval.governance import load_governance_config, run_governance
+
+        perf = run_governance(load_governance_config(governance_config))
+        # Perf regressions carry severity like metric regressions do.
+        perf_severity = 0.0
+        for bench in perf["benchmarks"]:
+            comparison = bench.get("baseline_comparison")
+            if comparison:
+                perf_severity += math.sqrt(
+                    sum(
+                        metric_severity(c, weights) ** 2
+                        for c in comparison.get("comparisons", [])
+                    )
+                    or 0.0
+                )
+        summary["perf_gate"] = perf
+        summary["total_severity"] += perf_severity
+        if perf["status"] != "pass" and summary["status"] == "pass":
+            summary["status"] = perf["status"]
+    return summary
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -97,8 +128,21 @@ def main(argv: Optional[List[str]] = None) -> int:
     parser.add_argument("configs", nargs="+", type=Path)
     parser.add_argument("--max-concurrency", type=int, default=2)
     parser.add_argument("--summary-out", type=Path, default=Path("ci_benchmark_summary.json"))
+    parser.add_argument(
+        "--governance-config",
+        type=Path,
+        default=None,
+        help="optional eval.governance config (perf gate, e.g. "
+        "configs/evaluation/perf_gate.json) merged into the suite verdict",
+    )
     args = parser.parse_args(argv)
-    summary = asyncio.run(run_ci_suite(args.configs, max_concurrency=args.max_concurrency))
+    summary = asyncio.run(
+        run_ci_suite(
+            args.configs,
+            max_concurrency=args.max_concurrency,
+            governance_config=args.governance_config,
+        )
+    )
     args.summary_out.write_text(json.dumps(summary, indent=2, sort_keys=True))
     print(json.dumps({"status": summary["status"], "total_severity": summary["total_severity"]}))
     return 0 if summary["status"] == "pass" else 1

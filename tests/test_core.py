@@ -6,6 +6,8 @@ import json
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke  # <5-min dev-loop tier (VERDICT r3 item 7)
+
 from mvslam_tpu.core.determinism import DeterminismRegistry, build_registry, hash_config_path
 from mvslam_tpu.core.integrity import stable_hash, stable_event_digest
 from mvslam_tpu.core.experiments import create_run_artifacts, write_resolved_config

@@ -9,6 +9,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke  # <5-min dev-loop tier (VERDICT r3 item 7)
+
 from mvslam_tpu.eval.baselines import BaselineStore, MetricThreshold, compare_metrics
 from mvslam_tpu.eval.ci_runner import SeverityWeights, metric_severity, score_run
 from mvslam_tpu.eval.determinism_validation import (
@@ -335,6 +337,116 @@ class TestGovernance:
         summary = run_governance(config)
         assert summary["status"] == "pass"
         assert summary["benchmarks"][0]["metrics"]["v"] == 2.0
+
+
+class TestPerfGate:
+    """The repo's own perf, gated by the repo's own gates (VERDICT r3 item 4):
+    the committed perf_gate.json + baselines/perf_tpu.json must trip on a
+    deliberate slowdown of the hottest stage."""
+
+    REPO = Path(__file__).resolve().parents[1]
+
+    def _committed(self):
+        cfg = load_governance_config(self.REPO / "configs/evaluation/perf_gate.json")
+        store = BaselineStore(self.REPO / "baselines/perf_tpu.json")
+        return cfg, store
+
+    def test_committed_config_covers_baselines(self):
+        """Every thresholded metric has a committed baseline value — a gate
+        that would report missing_baseline is a gate that never trips."""
+        cfg, store = self._committed()
+        assert cfg["baseline_store"] == "baselines/perf_tpu.json"
+        for spec in cfg["specs"]:
+            baseline = store.load_baseline(spec.name)
+            assert baseline is not None, f"no baseline entry for {spec.name}"
+            for metric in spec.metric_thresholds:
+                assert metric in baseline, f"{spec.name}: no baseline for {metric}"
+
+    def test_2x_ransac_slowdown_trips_gate(self, tmp_path):
+        """Simulate the round-3 failure mode: dual-model RANSAC at 2x its
+        committed ms. Uses the COMMITTED thresholds + baseline store with a
+        stub benchmark (no TPU needed) — the gate semantics are what's under
+        test. Ref contract: ``benchmark_governance.py:112-156``."""
+        cfg, store = self._committed()
+        spec = next(s for s in cfg["specs"] if s.name == "roofline_tpu")
+        baseline = store.load_baseline("roofline_tpu")
+        slowed = {m: v * (2.0 if "ransac" in m else 1.0) for m, v in baseline.items()}
+        emit_lines = "; ".join(
+            f"print(__import__('json').dumps({{'metric': '{m}', 'value': {v}}}))"
+            for m, v in slowed.items()
+        )
+        stub_cfg = {
+            "specs": [
+                BenchmarkSpec(
+                    name="roofline_tpu",
+                    command=["python", "-c", emit_lines],
+                    metric_thresholds=spec.metric_thresholds,
+                )
+            ],
+            "baseline_store": str(self.REPO / "baselines/perf_tpu.json"),
+            "fail_fast": False,
+            "write_baseline": False,
+        }
+        summary = run_governance(stub_cfg)
+        assert summary["status"] == "regressed"
+        comp = summary["benchmarks"][0]["baseline_comparison"]
+        regressed = [c for c in comp["comparisons"] if c["status"] == "regressed"]
+        assert [c["metric"] for c in regressed] == ["roofline_ransac_dual_model_ms"]
+
+    def test_within_tolerance_passes(self, tmp_path):
+        cfg, store = self._committed()
+        spec = next(s for s in cfg["specs"] if s.name == "roofline_tpu")
+        baseline = store.load_baseline("roofline_tpu")
+        jittered = {m: v * 1.1 for m, v in baseline.items()}  # inside 20% tol
+        emit_lines = "; ".join(
+            f"print(__import__('json').dumps({{'metric': '{m}', 'value': {v}}}))"
+            for m, v in jittered.items()
+        )
+        stub_cfg = {
+            "specs": [
+                BenchmarkSpec(
+                    name="roofline_tpu",
+                    command=["python", "-c", emit_lines],
+                    metric_thresholds=spec.metric_thresholds,
+                )
+            ],
+            "baseline_store": str(self.REPO / "baselines/perf_tpu.json"),
+            "fail_fast": False,
+        }
+        assert run_governance(stub_cfg)["status"] == "pass"
+
+    def test_ci_runner_merges_perf_gate(self, tmp_path):
+        """A perf regression flips the CI suite verdict (the wiring half of
+        r3 item 4)."""
+        from mvslam_tpu.eval.ci_runner import run_ci_suite
+
+        store_path = tmp_path / "store.json"
+        BaselineStore(store_path).upsert_baseline("b", {"stage_ms": 1.0})
+        gov_cfg = tmp_path / "gov.json"
+        gov_cfg.write_text(
+            json.dumps(
+                {
+                    "benchmarks": [
+                        {
+                            "name": "b",
+                            "command": [
+                                "python",
+                                "-c",
+                                "print('{\"metric\": \"stage_ms\", \"value\": 2.0}')",
+                            ],
+                            "metric_thresholds": {
+                                "stage_ms": {"direction": "lower", "tolerance": 0.15}
+                            },
+                        }
+                    ],
+                    "baseline_store": str(store_path),
+                }
+            )
+        )
+        summary = asyncio.run(run_ci_suite([], governance_config=gov_cfg))
+        assert summary["status"] == "regressed"
+        assert summary["perf_gate"]["benchmarks"][0]["status"] == "regressed"
+        assert summary["total_severity"] > 0.0
 
 
 class TestReadiness:

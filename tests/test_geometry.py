@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke  # <5-min dev-loop tier (VERDICT r3 item 7)
+
 from mvslam_tpu.geometry.lie import (
     rotation_angle_deg,
     se2_matrix,

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke  # <5-min dev-loop tier (VERDICT r3 item 7)
+
 from mvslam_tpu.ops.fast import FastConfig, detect_keypoints, fast_score_map
 from mvslam_tpu.ops.brief import BriefConfig, describe_keypoints, unpack_bits
 from mvslam_tpu.ops.hamming import (
