@@ -35,11 +35,7 @@ from mvslam_tpu.geometry.epipolar import (
 )
 from mvslam_tpu.geometry.linalg import inv3x3
 from mvslam_tpu.geometry.projection import normalize_pixels
-from mvslam_tpu.ops.ransac import (
-    RansacConfig,
-    adaptive_ransac_threshold,
-    ransac_dual_model,
-)
+from mvslam_tpu.ops.ransac import RansacConfig, ransac_dual_model
 
 
 @dataclass(frozen=True)
@@ -163,11 +159,25 @@ def estimate_pose_device(
     n1 = normalize_pixels(pts1_px, K)
     n2 = normalize_pixels(pts2_px, K)
 
+    # ONE masked median of the match displacements serves all three of its
+    # consumers (both adaptive RANSAC thresholds and the zero-motion
+    # detector) — the device sort of N values is one of the longer serial
+    # ops in this latency-bound program, and relying on XLA CSE to dedup
+    # three structurally-identical sorts is not a guarantee.
+    disp = jnp.linalg.norm(pts2_px - pts1_px, axis=-1)
+    disp_nan = jnp.where(mask, disp, jnp.nan)
+    median_nan = jnp.nanmedian(disp_nan)
+    median_disp = jnp.where(jnp.isnan(median_nan), 0.0, median_nan)
+
     e_thresh_px = jnp.asarray(config.essential_threshold_px, jnp.float32)
     h_thresh = jnp.asarray(config.homography_threshold_px, jnp.float32)
     if config.adaptive_threshold:
-        e_thresh_px = adaptive_ransac_threshold(config.essential_threshold_px, pts1_px, pts2_px, mask)
-        h_thresh = adaptive_ransac_threshold(config.homography_threshold_px, pts1_px, pts2_px, mask)
+        # Same semantics as ops.ransac.adaptive_ransac_threshold, sharing
+        # the single median above.
+        median_t = jnp.where(jnp.isnan(median_nan), 25.0, median_nan)
+        scale = jnp.clip(median_t / 25.0, 0.5, 2.0)
+        e_thresh_px = config.essential_threshold_px * scale
+        h_thresh = config.homography_threshold_px * scale
 
     key_e, key_h = jax.random.split(key)
     ransac_cfg = RansacConfig(
@@ -282,10 +292,6 @@ def estimate_pose_device(
     t = jnp.where(use_e, t_e, t_h)
     t = t / jnp.maximum(jnp.linalg.norm(t), 1e-12)
 
-    disp = jnp.linalg.norm(pts2_px - pts1_px, axis=-1)
-    disp = jnp.where(mask, disp, jnp.nan)
-    median_disp = jnp.nanmedian(disp)
-    median_disp = jnp.where(jnp.isnan(median_disp), 0.0, median_disp)
     return DevicePoseResult(
         rotation=R,
         translation=t,

@@ -23,6 +23,15 @@ import jax.numpy as jnp
 from mvslam_tpu.geometry.linalg import inv3x3, smallest_eigvec_psd, tree_sum
 from mvslam_tpu.geometry.projection import hartley_normalization
 
+# Inverse-iteration counts for the null-space solves. Hypothesis batches
+# keep the full 10 (noisy minimal samples can have weak spectral gaps —
+# six rounds measurably hurt inlier recall); inlier REFITS average
+# hundreds of rows, so their spectra are clean and converge in 1-2 rounds
+# — 4 keeps margin while cutting the refit chain's sequential op count
+# (the dual-model pose stage is latency-bound, not compute-bound).
+HYPOTHESIS_EIGVEC_ITERS = 10
+REFIT_EIGVEC_ITERS = 4
+
 
 def _homogeneous(pts: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1)
@@ -60,10 +69,12 @@ def _gram_tree(A: jnp.ndarray) -> jnp.ndarray:
     return tree_sum(outer, axis=-3)
 
 
-def _smallest_singular_vector(A: jnp.ndarray, rescue: bool = True) -> jnp.ndarray:
+def _smallest_singular_vector(
+    A: jnp.ndarray, rescue: bool = True, iterations: int = HYPOTHESIS_EIGVEC_ITERS
+) -> jnp.ndarray:
     """Right singular vector of A with the smallest singular value.
 
-    Cholesky inverse iteration on AᵀA (see ``geometry.linalg``) — far
+    Inverse iteration on AᵀA (see ``geometry.linalg``) — far
     faster than eigh/svd for the thousands of tiny systems in a RANSAC
     hypothesis batch. ``rescue=False`` skips the NaN-rescue factorization
     (appropriate when a failed element merely loses a RANSAC vote).
@@ -74,7 +85,7 @@ def _smallest_singular_vector(A: jnp.ndarray, rescue: bool = True) -> jnp.ndarra
     per-device batch shapes a mesh introduces — keeping hypothesis models
     (and therefore RANSAC votes/argmax) mesh-invariant.
     """
-    return smallest_eigvec_psd(_gram_tree(A), rescue=rescue)
+    return smallest_eigvec_psd(_gram_tree(A), iterations=iterations, rescue=rescue)
 
 
 def essential_rows(
@@ -90,6 +101,21 @@ def essential_rows(
     return A
 
 
+def _invsqrt3x3_psd(C: jnp.ndarray, iterations: int = 5) -> jnp.ndarray:
+    """Newton–Schulz C^(−1/2) for (..., 3, 3) SPD with spectrum ⊂ (0, 3).
+
+    X ← ½ X (3I − C X²), X₀ = I — pure batched 3×3 matmuls (a handful of
+    fused VPU ops), converging quadratically. Five rounds cover spectra
+    as lopsided as λmax/λmin ≈ 10; callers must pre-scale C so its
+    spectrum sits near 1 (see :func:`essential_from_vec`).
+    """
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=C.dtype), C.shape)
+    X = eye
+    for _ in range(iterations):
+        X = 0.5 * (X @ (3.0 * eye - C @ (X @ X)))
+    return X
+
+
 def essential_from_vec(e: jnp.ndarray, exact_rank2: bool) -> jnp.ndarray:
     """E (..., 3, 3) from the null-space vector (..., 9).
 
@@ -98,16 +124,38 @@ def essential_from_vec(e: jnp.ndarray, exact_rank2: bool) -> jnp.ndarray:
     Sampson scoring is scale-invariant and true essentials have σ₁ = σ₂,
     so the (1,1,0) renormalisation is indistinguishable for vote counting
     — but jnp.linalg.svd on a (K,3,3) batch is Jacobi sweeps and costs
-    ~3.5 ms at K=512 where this projection costs ~0.3 ms. Refits and
-    decomposition keep the exact constraint (``exact_rank2=True``).
+    ~3.5 ms at K=512 where this projection costs ~0.3 ms.
+
+    ``exact_rank2=True`` (refits, decomposition inputs): enforce the full
+    σ = (1, 1, 0) spectrum — WITHOUT the SVD custom-call (a sequential
+    Jacobi chain; the refit batch is 1-2 matrices, so it ran at pure
+    latency). With E₂ = E(I − v₃v₃ᵀ) = σ₁u₁v₁ᵀ + σ₂u₂v₂ᵀ and
+    σ̂² = tr(E₂ᵀE₂)/2, the matrix C = E₂ᵀE₂/σ̂² + v₃v₃ᵀ has
+    C^(−1/2) = (σ̂/σ₁)v₁v₁ᵀ + (σ̂/σ₂)v₂v₂ᵀ + v₃v₃ᵀ, so
+
+        (E₂/σ̂) · C^(−1/2) = u₁v₁ᵀ + u₂v₂ᵀ = U diag(1,1,0) Vᵀ
+
+    exactly — and C's spectrum is {2λ₁/(λ₁+λ₂), 2λ₂/(λ₁+λ₂), 1} ⊂ [0, 2],
+    inside Newton–Schulz's basin by construction. A tiny ridge keeps the
+    degenerate σ₂ → 0 case finite (such frames fail the pose gates anyway).
     """
     E = e.reshape(*e.shape[:-1], 3, 3)
+    v3 = smallest_eigvec_psd(
+        jnp.swapaxes(E, -1, -2) @ E,
+        iterations=HYPOTHESIS_EIGVEC_ITERS if not exact_rank2 else REFIT_EIGVEC_ITERS,
+        rescue=False,
+    )
+    E2 = E - (E @ v3[..., :, None]) * v3[..., None, :]
     if not exact_rank2:
-        v3 = smallest_eigvec_psd(jnp.swapaxes(E, -1, -2) @ E, rescue=False)
-        return E - (E @ v3[..., :, None]) * v3[..., None, :]
-    U, _, Vt = jnp.linalg.svd(E)
-    S = jnp.asarray([1.0, 1.0, 0.0], dtype=E.dtype)
-    return U @ (S[..., :, None] * Vt)
+        return E2
+    A = jnp.swapaxes(E2, -1, -2) @ E2
+    s2 = 0.5 * ((A[..., 0, 0] + A[..., 1, 1]) + A[..., 2, 2])
+    s2 = jnp.maximum(s2, 1e-20)
+    C = A / s2[..., None, None] + v3[..., :, None] * v3[..., None, :]
+    eye = jnp.eye(3, dtype=E.dtype)
+    C = C + 1e-6 * eye
+    inv_sqrt = _invsqrt3x3_psd(C)
+    return (E2 / jnp.sqrt(s2)[..., None, None]) @ inv_sqrt
 
 
 def eight_point_essential(
@@ -123,8 +171,13 @@ def eight_point_essential(
     A = essential_rows(pts1, pts2, weights)
     # Refits (weights given) poison the final model on NaN -> rescue;
     # hypothesis batches just lose one vote -> skip the extra inversion.
-    e = _smallest_singular_vector(A, rescue=weights is not None)
-    return essential_from_vec(e, exact_rank2=weights is not None)
+    refit = weights is not None
+    e = _smallest_singular_vector(
+        A,
+        rescue=refit,
+        iterations=REFIT_EIGVEC_ITERS if refit else HYPOTHESIS_EIGVEC_ITERS,
+    )
+    return essential_from_vec(e, exact_rank2=refit)
 
 
 def sampson_error(E: jnp.ndarray, pts1: jnp.ndarray, pts2: jnp.ndarray) -> jnp.ndarray:
@@ -172,15 +225,52 @@ def decompose_essential(
     triangulates midpoints in closed form for all N points and all 4
     (R, t) pairs at once (parity: ``homography.py:251-299`` which loops in
     Python per point). Returns (R (3,3), t (3,) unit norm, cheirality_count).
+
+    The rotation pair comes from Horn's closed form rather than an SVD
+    custom-call (a sequential Jacobi chain — pure latency on a single
+    3×3): for an exact essential E = [t]×R with ‖t‖ = 1,
+    adj(E)ᵀ = t tᵀ R and [t]×E = (t tᵀ − I) R, so
+
+        R  = adj(E)ᵀ − [t]×E          (the second rotation of the
+        R' = adj(E)ᵀ + [t]×E           twisted pair, (2ttᵀ − I)R)
+
+    and the sign ambiguity of E merely swaps R ↔ R'. E is rescaled to
+    ‖E‖_F = √2 first (adj is quadratic in scale, [t]× linear), and one
+    Newton orthonormalisation step absorbs the O(σ₁−σ₂) error when the
+    input was only rank-2-projected rather than fully σ-equalised.
     """
-    U, _, Vt = jnp.linalg.svd(E)
-    # Keep rotations proper.
-    U = U * jnp.sign(jnp.linalg.det(U))
-    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
-    W = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], dtype=E.dtype)
-    R1 = U @ W @ Vt
-    R2 = U @ W.T @ Vt
-    t = U[:, 2]
+    fnorm = jnp.sqrt(jnp.sum(E * E))
+    En = E * (jnp.sqrt(2.0) / jnp.maximum(fnorm, 1e-20))
+    # Left null vector: E Eᵀ t = 0 (the translation direction, up to sign).
+    t = smallest_eigvec_psd(
+        En @ En.T, iterations=REFIT_EIGVEC_ITERS, rescue=True
+    )
+    a, b, c = En[0, 0], En[0, 1], En[0, 2]
+    d, e, f = En[1, 0], En[1, 1], En[1, 2]
+    g, h, i = En[2, 0], En[2, 1], En[2, 2]
+    cof = jnp.stack(
+        [
+            jnp.stack([e * i - f * h, f * g - d * i, d * h - e * g]),
+            jnp.stack([c * h - b * i, a * i - c * g, b * g - a * h]),
+            jnp.stack([b * f - c * e, c * d - a * f, a * e - b * d]),
+        ]
+    )  # adj(En)ᵀ
+    tx = jnp.asarray(
+        [[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 0.0]], dtype=E.dtype
+    )
+    skew_t = (
+        t[0] * jnp.asarray([[0, 0, 0], [0, 0, -1], [0, 1, 0]], dtype=E.dtype)
+        + t[1] * jnp.asarray([[0, 0, 1], [0, 0, 0], [-1, 0, 0]], dtype=E.dtype)
+        + t[2] * tx
+    )
+    txE = skew_t @ En
+    eye3 = jnp.eye(3, dtype=E.dtype)
+
+    def _orthonormalize(R):
+        return R @ (1.5 * eye3 - 0.5 * (R.T @ R))
+
+    R1 = _orthonormalize(cof - txE)
+    R2 = _orthonormalize(cof + txE)
     Rs = jnp.stack([R1, R1, R2, R2])  # (4, 3, 3)
     ts = jnp.stack([t, -t, t, -t])  # (4, 3)
 
@@ -253,7 +343,12 @@ def dlt_homography(
     H[2,2] = 1. Parity: ``homography.py:118-142``.
     """
     A, T1, T2 = homography_rows(pts1, pts2, weights)
-    h = _smallest_singular_vector(A, rescue=weights is not None)
+    refit = weights is not None
+    h = _smallest_singular_vector(
+        A,
+        rescue=refit,
+        iterations=REFIT_EIGVEC_ITERS if refit else HYPOTHESIS_EIGVEC_ITERS,
+    )
     return homography_from_vec(h, T1, T2)
 
 
@@ -291,11 +386,20 @@ def decompose_homography(
     correspondences (both depths positive). Near-pure-rotation H
     degenerates to t→0 — such models lose to the essential branch via the
     parallax gate. Assumes normalised coordinates.
+
+    Uses the closed-form :func:`~mvslam_tpu.geometry.linalg.svd3x3`
+    (analytic eigendecomposition of HᵀH) instead of the SVD custom-call —
+    a single 3×3 per frame runs at pure sequential-op latency, and the
+    Jacobi custom-call dominated this stage's profile. Degenerate spectra
+    get an arbitrary basis of the degenerate subspace, which the Faugeras
+    candidates are invariant to.
     """
-    U, S, Vt = jnp.linalg.svd(H)
+    from mvslam_tpu.geometry.linalg import det3x3, svd3x3
+
+    U, S, Vt = svd3x3(H)
     # Work with proper rotations: fold the reflection into both factors.
-    detU = jnp.linalg.det(U)
-    detV = jnp.linalg.det(Vt)
+    detU = det3x3(U)
+    detV = det3x3(Vt)
     U = U * detU
     Vt = Vt * detV
     d1, d2, d3 = S[0], S[1], S[2]

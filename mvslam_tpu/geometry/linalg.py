@@ -86,6 +86,125 @@ def det3x3(M: jnp.ndarray) -> jnp.ndarray:
     return a * (e * i - f * h) + b * (f * g - d * i) + c * (d * h - e * g)
 
 
+def eigh3x3(A: jnp.ndarray):
+    """Closed-form eigendecomposition of symmetric (..., 3, 3) matrices.
+
+    Returns ``(eigvals (..., 3) descending, eigvecs (..., 3, 3) columns)``.
+    Pure elementwise work — eigenvalues by the trigonometric (Cardano)
+    solution of the characteristic cubic, eigenvectors by the largest
+    cross product of rows of (A − λI), with the middle vector completed
+    as v₃ × v₁ so the basis is exactly orthonormal. Replaces
+    ``jnp.linalg.eigh``'s sequential Jacobi custom-call, which is pure
+    latency for the single small systems on the pose hot path.
+
+    Degenerate spectra (λ₁ ≈ λ₂ or A ≈ qI) yield an *arbitrary* orthonormal
+    basis of the degenerate subspace — callers must be invariant to that
+    choice (the essential/homography decompositions are: their recovered
+    R, t depend only on the eigenspaces).
+    """
+    q = (jnp.trace(A, axis1=-2, axis2=-1)) / 3.0
+    eye = jnp.eye(3, dtype=A.dtype)
+    Aq = A - q[..., None, None] * eye
+    p2 = jnp.sum(Aq * Aq, axis=(-2, -1)) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 1e-30))
+    B = Aq / p[..., None, None]
+    r = jnp.clip(0.5 * det3x3(B), -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lam1 = q + 2.0 * p * jnp.cos(phi)
+    lam3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    lam2 = 3.0 * q - lam1 - lam3
+
+    def _null_vec(lam):
+        M = A - lam[..., None, None] * eye
+        r0, r1, r2 = M[..., 0, :], M[..., 1, :], M[..., 2, :]
+        c01 = jnp.cross(r0, r1)
+        c02 = jnp.cross(r0, r2)
+        c12 = jnp.cross(r1, r2)
+        cands = jnp.stack([c01, c02, c12], axis=-2)  # (..., 3, 3)
+        norms = jnp.sum(cands * cands, axis=-1)
+        best = jnp.argmax(norms, axis=-1)
+        v = jnp.take_along_axis(cands, best[..., None, None], axis=-2)[..., 0, :]
+        n = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+        # A ≈ λI: every cross product vanishes — fall back to e₀ (the
+        # caller-invariance contract covers this fully-degenerate case).
+        e0 = jnp.zeros_like(v).at[..., 0].set(1.0)
+        return jnp.where(n > 1e-20, v / jnp.maximum(n, 1e-30), e0)
+
+    v1 = _null_vec(lam1)
+    v3 = _null_vec(lam3)
+
+    # The eigenvector at the larger spectral gap is the reliable one;
+    # orthogonalise the other against it (λ₁ ≈ λ₂ makes v₁ noisy while v₃
+    # stays well-conditioned, and vice versa).
+    def _orth(v, anchor):
+        # Gram-Schmidt twice ("twice is enough"): with v ≈ anchor the first
+        # residual is parallel-to-anchor roundoff of magnitude ~eps — far
+        # above any absolute threshold — and only the second projection
+        # collapses it to a true zero that the fallback test can see.
+        w = v - anchor * jnp.sum(anchor * v, axis=-1, keepdims=True)
+        w = w - anchor * jnp.sum(anchor * w, axis=-1, keepdims=True)
+        n = jnp.sqrt(jnp.sum(w * w, axis=-1, keepdims=True))
+        # v parallel to the anchor can only happen fully degenerate — any
+        # perpendicular completes the basis. Pick the axis least aligned
+        # with the anchor so the fallback projection never degenerates.
+        axis_idx = jnp.argmin(jnp.abs(anchor), axis=-1)
+        axis = jax.nn.one_hot(axis_idx, 3, dtype=v.dtype)
+        fallback = axis - anchor * jnp.sum(anchor * axis, axis=-1, keepdims=True)
+        fn = jnp.sqrt(jnp.sum(fallback * fallback, axis=-1, keepdims=True))
+        fallback = fallback / jnp.maximum(fn, 1e-30)
+        return jnp.where(n > 1e-5, w / jnp.maximum(n, 1e-30), fallback)
+
+    top_gap_larger = ((lam1 - lam2) >= (lam2 - lam3))[..., None]
+    v1_f = jnp.where(top_gap_larger, v1, _orth(v1, v3))
+    v3_f = jnp.where(top_gap_larger, _orth(v3, v1), v3)
+    v1, v3 = v1_f, v3_f
+    v2 = jnp.cross(v3, v1)
+    vals = jnp.stack([lam1, lam2, lam3], axis=-1)
+    vecs = jnp.stack([v1, v2, v3], axis=-1)  # columns
+    return vals, vecs
+
+
+def svd3x3(M: jnp.ndarray):
+    """Closed-form SVD of (..., 3, 3): ``(U, S (..., 3) descending, Vt)``.
+
+    V and S come from :func:`eigh3x3` of MᵀM; U's first two columns are
+    M·vᵢ/σᵢ and the third is their cross product (orthonormal by
+    construction, stable when σ₃ → 0 — the essential-matrix case). All
+    elementwise — no SVD custom-call. Signs follow u = M v / σ, so
+    M = U diag(S) Vᵀ holds with S ≥ 0; U or V may be reflections (same
+    contract as LAPACK), callers fold dets as needed.
+    """
+    vals, V = eigh3x3(jnp.swapaxes(M, -1, -2) @ M)
+    S = jnp.sqrt(jnp.maximum(vals, 0.0))
+    u1 = (M @ V[..., :, 0, None])[..., 0]
+    u2 = (M @ V[..., :, 1, None])[..., 0]
+    n1 = jnp.sqrt(jnp.sum(u1 * u1, axis=-1, keepdims=True))
+    n2 = jnp.sqrt(jnp.sum(u2 * u2, axis=-1, keepdims=True))
+    e0 = jnp.zeros_like(u1).at[..., 0].set(1.0)
+    e1 = jnp.zeros_like(u2).at[..., 1].set(1.0)
+    u1 = jnp.where(n1 > 1e-20, u1 / jnp.maximum(n1, 1e-30), e0)
+    u2 = jnp.where(n2 > 1e-20, u2 / jnp.maximum(n2, 1e-30), e1)
+    # Re-orthogonalise u₂ against u₁ (σ₁ ≈ σ₂ leaves them slightly skew);
+    # project twice so a parallel pair collapses to a detectable zero.
+    u2 = u2 - u1 * jnp.sum(u1 * u2, axis=-1, keepdims=True)
+    u2 = u2 - u1 * jnp.sum(u1 * u2, axis=-1, keepdims=True)
+    nn2 = jnp.sqrt(jnp.sum(u2 * u2, axis=-1, keepdims=True))
+    axis_idx = jnp.argmin(jnp.abs(u1), axis=-1)
+    axis = jax.nn.one_hot(axis_idx, 3, dtype=u1.dtype)
+    fb = axis - u1 * jnp.sum(u1 * axis, axis=-1, keepdims=True)
+    fb = fb / jnp.maximum(jnp.sqrt(jnp.sum(fb * fb, axis=-1, keepdims=True)), 1e-30)
+    u2 = jnp.where(nn2 > 1e-5, u2 / jnp.maximum(nn2, 1e-30), fb)
+    u3 = jnp.cross(u1, u2)
+    # u₃ must satisfy M v₃ = σ₃ u₃ — the cross product fixes it only up to
+    # sign, and the wrong sign flips the σ₃ component of the
+    # reconstruction. When σ₃ ≈ 0 the sign is immaterial; keep +1.
+    mv3 = (M @ V[..., :, 2, None])[..., 0]
+    sgn = jnp.sign(jnp.sum(u3 * mv3, axis=-1, keepdims=True))
+    u3 = u3 * jnp.where(sgn == 0.0, 1.0, sgn)
+    U = jnp.stack([u1, u2, u3], axis=-1)
+    return U, S, jnp.swapaxes(V, -1, -2)
+
+
 def _gauss_jordan_inverse_with_pivots(S: jnp.ndarray):
     """Unrolled no-pivot Gauss-Jordan inverse of (..., n, n) SPD matrices,
     also returning the minimum elimination pivot.
@@ -172,8 +291,19 @@ def smallest_eigvec_psd(S: jnp.ndarray, iterations: int = 10, rescue: bool = Tru
         bound = 10.0 / (1e-7 * trace + 1e-12)[..., None, None]
         peak = jnp.max(jnp.abs(S_inv), axis=(-2, -1), keepdims=True)
         bad = ~jnp.isfinite(peak) | (peak > bound) | (pivot_sig <= 0)[..., None, None]
-        S_inv_big, _ = invert(S + 100.0 * ridge)
-        S_inv = jnp.where(bad, S_inv_big, S_inv)
+        # The rescue inversion runs under lax.cond: on the latency-bound
+        # refit path (batch of 1-2 systems) the unrolled inversion is a
+        # long chain of tiny sequential ops, and healthy refits — the
+        # overwhelmingly common case — skip the whole second chain at
+        # runtime. When any element IS bad the branch computes exactly
+        # what the unconditional form computed, so results are
+        # bit-identical either way. (Under vmap the cond lowers back to
+        # select/both-branches — the pre-existing behavior.)
+        S_inv = jax.lax.cond(
+            jnp.any(bad),
+            lambda: jnp.where(bad, invert(S + 100.0 * ridge)[0], S_inv),
+            lambda: S_inv,
+        )
 
     x = jnp.broadcast_to(jnp.linspace(1.0, 1.3, n, dtype=S.dtype), S.shape[:-2] + (n,))
     for _ in range(iterations):

@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 
 from mvslam_tpu.geometry.epipolar import (
+    HYPOTHESIS_EIGVEC_ITERS,
+    REFIT_EIGVEC_ITERS,
     _smallest_singular_vector,
     dlt_homography,
     eight_point_essential,
@@ -229,7 +231,9 @@ def ransac_dual_model(
     # One null-space chain for ALL hypotheses of both models. rescue=False:
     # a numerically-failed hypothesis merely loses its RANSAC vote.
     vecs = _smallest_singular_vector(
-        jnp.concatenate([rows_e, rows_h], axis=0), rescue=False
+        jnp.concatenate([rows_e, rows_h], axis=0),
+        rescue=False,
+        iterations=HYPOTHESIS_EIGVEC_ITERS,
     )
     models_e = essential_from_vec(vecs[:k_e], exact_rank2=False)
     models_h = homography_from_vec(vecs[k_e:], T1, T2)
@@ -251,8 +255,12 @@ def ransac_dual_model(
         rh, T1f, T2f = homography_rows(pts1, pts2, w_h)  # (2N, 9)
         re_padded = jnp.concatenate([re, jnp.zeros_like(re)], axis=0)
         # One chain for both refits; rescue=True — a poisoned refit would
-        # poison the frame's final model.
-        v2 = _smallest_singular_vector(jnp.stack([re_padded, rh]), rescue=True)
+        # poison the frame's final model. REFIT iterations: clean inlier
+        # spectra converge in 1-2 rounds (must mirror the single-model
+        # refit path in eight_point_essential/dlt_homography bit-for-bit).
+        v2 = _smallest_singular_vector(
+            jnp.stack([re_padded, rh]), rescue=True, iterations=REFIT_EIGVEC_ITERS
+        )
         refit_e = essential_from_vec(v2[0], exact_rank2=True)
         refit_h = homography_from_vec(v2[1], T1f, T2f)
         if r < config_e.refit_rounds:
