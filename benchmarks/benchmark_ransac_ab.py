@@ -10,14 +10,12 @@ hypotheses) and the tracking workload (N=512):
 - ``dual_ransac_r0`` — the same with ``refit_rounds=0`` (hypothesis stage only;
                        the difference isolates the IRLS refit chain)
 - ``decompose``      — both model decompositions alone
-- ``*_dotgram``      — the same programs with the order-pinned tree reductions
-                       (``_gram_tree``/``_matvec3``/``tree_sum`` forms) swapped
-                       for plain dot contractions, quantifying what mesh-
-                       invariant determinism costs on one chip (VERDICT r3
-                       item 3 suspect i). The dot forms are NOT shippable
-                       as-is (they break the cross-mesh bit-equality
-                       contracts in tests/parallel_checks.py) — this is a
-                       measurement, not a mode.
+- ``*_pinned``       — the same with ``mesh_invariant=True`` (order-pinned
+                       tree reductions), quantifying what cross-mesh
+                       bit-stability costs on one chip. Measured r4: pinned
+                       3.71 ms vs dot 1.51 ms at the 2048-match workload —
+                       which is why the pinned forms are now confined to
+                       the meshed wrappers (VERDICT r3 item 3 suspect i).
 
 Methodology: carry-dependent in-program lax.scan (XLA cannot hoist the
 body), steady state, same as benchmark_roofline.py. Each metric emits as
@@ -70,30 +68,6 @@ def _time_loop(step_fn, feed, passes: int) -> float:
     with measured(report):
         jax.block_until_ready(fn())
     return report["elapsed_s"] * 1000.0 / passes
-
-
-def _patch_dot_forms():
-    """Swap the order-pinned reductions for dot contractions (measurement
-    only — see module docstring). Returns a restore callback."""
-    import jax.numpy as jnp
-
-    import mvslam_tpu.geometry.epipolar as ep
-
-    saved = (ep._gram_tree, ep._matvec3)
-
-    def _gram_dot(A):
-        return jnp.swapaxes(A, -1, -2) @ A
-
-    def _matvec_dot(M, x):
-        return x @ jnp.swapaxes(M, -1, -2)
-
-    ep._gram_tree = _gram_dot
-    ep._matvec3 = _matvec_dot
-
-    def restore():
-        ep._gram_tree, ep._matvec3 = saved
-
-    return restore
 
 
 def main(passes: int = 100):
@@ -157,37 +131,28 @@ def main(passes: int = 100):
         ms = _time_loop(decomp_stage, lambda c: E + jnp.minimum(c, 0.0), passes)
         emit(f"ransac_ab_decompose{suffix}_ms", ms, "ms")
 
-    # --- dot-contraction A/B (measurement only; not shippable) -----------
-    restore = _patch_dot_forms()
-    try:
-        import importlib
-
-        import mvslam_tpu.ops.ransac as rs
-
-        importlib.reload(rs)  # rebind the patched geometry symbols
-
-        pix1_np, pix2_np, K_np = _correspondences(2048)
+    # --- pinned (mesh-invariant) A/B: what cross-mesh bit-stability costs --
+    for n in (2048, 512):
+        pix1_np, pix2_np, K_np = _correspondences(n)
         K = jnp.asarray(K_np)
         n1 = normalize_pixels(jnp.asarray(pix1_np), K)
         n2 = normalize_pixels(jnp.asarray(pix2_np), K)
-        mask = jnp.ones(2048, bool)
+        mask = jnp.ones(n, bool)
         fx = float(K_np[0, 0])
-        cfg_e = RansacConfig(num_hypotheses=N_HYP, threshold=1.5 / fx, refit_rounds=2)
-        cfg_h = RansacConfig(num_hypotheses=N_HYP // 2, threshold=3.0 / fx, refit_rounds=2)
-        jitted = jax.jit(rs.ransac_dual_model, static_argnames=("config_e", "config_h"))
+        suffix = "" if n == 2048 else "_n512"
+        cfg_e = RansacConfig(
+            num_hypotheses=N_HYP, threshold=1.5 / fx, refit_rounds=2, mesh_invariant=True
+        )
+        cfg_h = RansacConfig(
+            num_hypotheses=N_HYP // 2, threshold=3.0 / fx, refit_rounds=2, mesh_invariant=True
+        )
+        jitted = jax.jit(ransac_dual_model, static_argnames=("config_e", "config_h"))
 
-        def dot_stage(p):
-            return jitted(jax.random.key(0), jax.random.key(1), p, n2, mask, cfg_e, cfg_h)
+        def pinned_stage(p, _n1=n1, _n2=n2, _mask=mask, _e=cfg_e, _h=cfg_h, _j=jitted):
+            return _j(jax.random.key(0), jax.random.key(1), p, _n2, _mask, _e, _h)
 
-        ms = _time_loop(dot_stage, lambda c: n1 + jnp.minimum(c, 0.0), passes)
-        emit("ransac_ab_dual_ransac_dotgram_ms", ms, "ms")
-    finally:
-        restore()
-        import importlib
-
-        import mvslam_tpu.ops.ransac as rs
-
-        importlib.reload(rs)
+        ms = _time_loop(pinned_stage, lambda c, _n1=n1: _n1 + jnp.minimum(c, 0.0), passes)
+        emit(f"ransac_ab_dual_ransac_pinned{suffix}_ms", ms, "ms")
 
 
 if __name__ == "__main__":

@@ -68,6 +68,12 @@ class RobustPoseEstimatorConfig:
     homography_selection_share: float = 0.42
     homography_force_share: float = 0.52
     refit_rounds: int = 2
+    # Order-pinned (mesh-invariant) reductions in the RANSAC chain: forced
+    # True by the meshed wrappers (parallel/mesh.py); False = pick the
+    # faster reduction form from the (static) match-count workload — dot
+    # contractions at large N, pinned at the product's 512-match workload
+    # (see ops.ransac._PINNED_N_CUTOFF for the measured numbers).
+    mesh_invariant: bool = False
 
     def __post_init__(self):
         if self.min_inliers < 8:
@@ -184,6 +190,7 @@ def estimate_pose_device(
         num_hypotheses=config.num_hypotheses,
         min_inliers=config.min_inliers,
         refit_rounds=config.refit_rounds,
+        mesh_invariant=config.mesh_invariant,
     )
     # Both models are fit in well-conditioned *normalised* coordinates;
     # pixel thresholds convert by 1/fx. Thresholds stay traced values so
@@ -192,6 +199,7 @@ def estimate_pose_device(
         num_hypotheses=config.homography_hypotheses or config.num_hypotheses // 2,
         min_inliers=config.min_inliers,
         refit_rounds=config.refit_rounds,
+        mesh_invariant=config.mesh_invariant,
     )
     # E + H hypothesis batches, refits, and scoring run as ONE fused
     # solver chain (see ops/ransac.py::ransac_dual_model — the stage is

@@ -37,14 +37,19 @@ def _homogeneous(pts: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1)
 
 
-def _matvec3(M: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """(..., 3, 3) applied to (..., N, 3) rows with pinned association.
+def _matvec3(M: jnp.ndarray, x: jnp.ndarray, pinned: bool = True) -> jnp.ndarray:
+    """(..., 3, 3) applied to (..., N, 3) rows.
 
-    Equivalent to ``x @ swapaxes(M, -1, -2)`` but written as explicit
-    ``(m0·x0 + m1·x1) + m2·x2`` so the 3-term accumulation order cannot be
-    retiled differently at different per-device batch shapes (the scorer
-    outputs feed RANSAC vote thresholds — see ``_gram_tree``).
+    ``pinned=True``: written as explicit ``(m0·x0 + m1·x1) + m2·x2`` so the
+    3-term accumulation order cannot be retiled differently at different
+    per-device batch shapes (the scorer outputs feed RANSAC vote
+    thresholds — see ``_gram_tree``). ``pinned=False``: a plain dot
+    contraction — measurably faster on one chip (the pinned elementwise
+    form skips the MXU), used when cross-mesh bit-stability is not
+    contractual (see ``RansacConfig.mesh_invariant``).
     """
+    if not pinned:
+        return x @ jnp.swapaxes(M, -1, -2)
     cols = [x[..., j] for j in range(3)]
     rows = [
         (M[..., i, 0, None] * cols[0] + M[..., i, 1, None] * cols[1])
@@ -70,7 +75,10 @@ def _gram_tree(A: jnp.ndarray) -> jnp.ndarray:
 
 
 def _smallest_singular_vector(
-    A: jnp.ndarray, rescue: bool = True, iterations: int = HYPOTHESIS_EIGVEC_ITERS
+    A: jnp.ndarray,
+    rescue: bool = True,
+    iterations: int = HYPOTHESIS_EIGVEC_ITERS,
+    pinned: bool = True,
 ) -> jnp.ndarray:
     """Right singular vector of A with the smallest singular value.
 
@@ -78,6 +86,8 @@ def _smallest_singular_vector(
     faster than eigh/svd for the thousands of tiny systems in a RANSAC
     hypothesis batch. ``rescue=False`` skips the NaN-rescue factorization
     (appropriate when a failed element merely loses a RANSAC vote).
+    ``pinned=False`` accumulates AᵀA with a dot contraction instead of the
+    order-pinned tree (single-chip fast path; see ``_matvec3``).
 
     AᵀA is accumulated with the order-pinned tree form (``_gram_tree``)
     rather than a ``dot``: the contraction is tiny (8 or 4 rows), so the
@@ -85,7 +95,8 @@ def _smallest_singular_vector(
     per-device batch shapes a mesh introduces — keeping hypothesis models
     (and therefore RANSAC votes/argmax) mesh-invariant.
     """
-    return smallest_eigvec_psd(_gram_tree(A), iterations=iterations, rescue=rescue)
+    gram = _gram_tree(A) if pinned else jnp.swapaxes(A, -1, -2) @ A
+    return smallest_eigvec_psd(gram, iterations=iterations, rescue=rescue)
 
 
 def essential_rows(
@@ -159,14 +170,18 @@ def essential_from_vec(e: jnp.ndarray, exact_rank2: bool) -> jnp.ndarray:
 
 
 def eight_point_essential(
-    pts1: jnp.ndarray, pts2: jnp.ndarray, weights: jnp.ndarray | None = None
+    pts1: jnp.ndarray,
+    pts2: jnp.ndarray,
+    weights: jnp.ndarray | None = None,
+    pinned: bool = True,
 ) -> jnp.ndarray:
     """Essential matrix from ≥8 normalised correspondences (batched).
 
     pts1, pts2: (..., N, 2) with N ≥ 8. Optional ``weights`` (..., N) scale
     each constraint row — pass an inlier mask to refit on inliers without
     dynamic shapes. Returns (..., 3, 3) with the rank-2 constraint
-    (singular values 1, 1, 0) enforced.
+    (singular values 1, 1, 0) enforced. ``pinned`` selects the
+    mesh-invariant order-pinned accumulation (see ``_matvec3``).
     """
     A = essential_rows(pts1, pts2, weights)
     # Refits (weights given) poison the final model on NaN -> rescue;
@@ -176,19 +191,22 @@ def eight_point_essential(
         A,
         rescue=refit,
         iterations=REFIT_EIGVEC_ITERS if refit else HYPOTHESIS_EIGVEC_ITERS,
+        pinned=pinned,
     )
     return essential_from_vec(e, exact_rank2=refit)
 
 
-def sampson_error(E: jnp.ndarray, pts1: jnp.ndarray, pts2: jnp.ndarray) -> jnp.ndarray:
+def sampson_error(
+    E: jnp.ndarray, pts1: jnp.ndarray, pts2: jnp.ndarray, pinned: bool = True
+) -> jnp.ndarray:
     """First-order geometric (Sampson) error of x2ᵀ E x1 (batched).
 
     E: (..., 3, 3); pts: (..., N, 2). Returns (..., N) squared errors.
     """
     x1 = _homogeneous(pts1)
     x2 = _homogeneous(pts2)
-    Ex1 = _matvec3(E, x1)  # (..., N, 3) = (E @ x1ᵀ)ᵀ
-    Etx2 = _matvec3(jnp.swapaxes(E, -1, -2), x2)  # (..., N, 3) = (Eᵀ @ x2ᵀ)ᵀ
+    Ex1 = _matvec3(E, x1, pinned)  # (..., N, 3) = (E @ x1ᵀ)ᵀ
+    Etx2 = _matvec3(jnp.swapaxes(E, -1, -2), x2, pinned)  # (..., N, 3) = (Eᵀ @ x2ᵀ)ᵀ
     prod = x2 * Ex1
     num = ((prod[..., 0] + prod[..., 1]) + prod[..., 2]) ** 2
     den = Ex1[..., 0] ** 2 + Ex1[..., 1] ** 2 + Etx2[..., 0] ** 2 + Etx2[..., 1] ** 2
@@ -308,11 +326,14 @@ def triangulate_normalized(
 
 
 def homography_rows(
-    pts1: jnp.ndarray, pts2: jnp.ndarray, weights: jnp.ndarray | None = None
+    pts1: jnp.ndarray,
+    pts2: jnp.ndarray,
+    weights: jnp.ndarray | None = None,
+    pinned: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Hartley-normalised DLT constraint rows: ((..., 2N, 9), T1, T2)."""
-    n1, T1 = hartley_normalization(pts1, weights)
-    n2, T2 = hartley_normalization(pts2, weights)
+    n1, T1 = hartley_normalization(pts1, weights, pinned=pinned)
+    n2, T2 = hartley_normalization(pts2, weights, pinned=pinned)
     x, y = n1[..., 0], n1[..., 1]
     u, v = n2[..., 0], n2[..., 1]
     zero = jnp.zeros_like(x)
@@ -334,7 +355,10 @@ def homography_from_vec(h: jnp.ndarray, T1: jnp.ndarray, T2: jnp.ndarray) -> jnp
 
 
 def dlt_homography(
-    pts1: jnp.ndarray, pts2: jnp.ndarray, weights: jnp.ndarray | None = None
+    pts1: jnp.ndarray,
+    pts2: jnp.ndarray,
+    weights: jnp.ndarray | None = None,
+    pinned: bool = True,
 ) -> jnp.ndarray:
     """Hartley-normalised DLT homography from ≥4 correspondences (batched).
 
@@ -342,17 +366,20 @@ def dlt_homography(
     constraint rows (masked inlier refit). Returns (..., 3, 3) with
     H[2,2] = 1. Parity: ``homography.py:118-142``.
     """
-    A, T1, T2 = homography_rows(pts1, pts2, weights)
+    A, T1, T2 = homography_rows(pts1, pts2, weights, pinned=pinned)
     refit = weights is not None
     h = _smallest_singular_vector(
         A,
         rescue=refit,
         iterations=REFIT_EIGVEC_ITERS if refit else HYPOTHESIS_EIGVEC_ITERS,
+        pinned=pinned,
     )
     return homography_from_vec(h, T1, T2)
 
 
-def symmetric_transfer_error(H: jnp.ndarray, pts1: jnp.ndarray, pts2: jnp.ndarray) -> jnp.ndarray:
+def symmetric_transfer_error(
+    H: jnp.ndarray, pts1: jnp.ndarray, pts2: jnp.ndarray, pinned: bool = True
+) -> jnp.ndarray:
     """Forward + backward reprojection error of a homography (batched).
 
     Returns (..., N) summed squared errors. Parity: ``homography.py:148-216``.
@@ -361,7 +388,7 @@ def symmetric_transfer_error(H: jnp.ndarray, pts1: jnp.ndarray, pts2: jnp.ndarra
 
     def transfer(M, pts):
         x = _homogeneous(pts)
-        y = _matvec3(M, x)
+        y = _matvec3(M, x, pinned)
         w = jnp.where(jnp.abs(y[..., 2:3]) < 1e-12, 1e-12, y[..., 2:3])
         return y[..., :2] / w
 

@@ -121,7 +121,7 @@ def normalize_pixels(pts: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
 
 
 def hartley_normalization(
-    pts: jnp.ndarray, weights: jnp.ndarray | None = None
+    pts: jnp.ndarray, weights: jnp.ndarray | None = None, pinned: bool = True
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Hartley point normalisation: zero-mean, mean distance √2.
 
@@ -135,10 +135,16 @@ def hartley_normalization(
         centered = pts - mean
         mean_dist = jnp.mean(jnp.linalg.norm(centered, axis=-1), axis=-1)
     else:
-        # Weighted = inlier refit: accumulate with order-pinned tree sums
-        # so the statistics are bit-identical across mesh/batch shapes
-        # (see geometry.linalg.tree_sum).
-        from mvslam_tpu.geometry.linalg import tree_sum
+        # Weighted = inlier refit. ``pinned=True``: accumulate with
+        # order-pinned tree sums so the statistics are bit-identical
+        # across mesh/batch shapes (see geometry.linalg.tree_sum);
+        # ``pinned=False``: plain sums (single-chip fast path, see
+        # RansacConfig.mesh_invariant).
+        if pinned:
+            from mvslam_tpu.geometry.linalg import tree_sum
+        else:
+            def tree_sum(x, axis):
+                return jnp.sum(x, axis=axis)
 
         wsum = tree_sum(weights, axis=-1)[..., None]
         wsum = jnp.where(wsum < 1e-12, 1e-12, wsum)

@@ -45,6 +45,29 @@ class RansacConfig:
     threshold: float = 1.0  # residual threshold (normalised units for E, px for H)
     min_inliers: int = 15
     refit_rounds: int = 2
+    # True = accumulate grams/scores through order-pinned tree reductions so
+    # results are bit-identical at ANY mesh/per-device batch shape (the
+    # meshed wrappers in parallel/mesh.py force this). False (default) =
+    # pick the faster form per workload SIZE (static at trace time): dot
+    # contractions at large N, pinned elementwise at small N — see
+    # _PINNED_N_CUTOFF. Either way runs are run-to-run deterministic for a
+    # fixed program; only agreement ACROSS mesh sizes is given up when the
+    # dot form engages (VERDICT r3 item 3 suspect i).
+    mesh_invariant: bool = False
+
+
+# Measured on v5e (benchmark_ransac_ab, same process, r4): dual RANSAC at
+# 2048 matches = 1.51 ms dot vs 3.71 ms pinned (MXU contraction wins the
+# big grams/score maps), at 512 matches = 1.22 ms dot vs 0.80 ms pinned
+# (MXU dispatch overhead dominates small shapes; the elementwise pinned
+# form stays on the VPU). N is a static shape, so the fast form is chosen
+# at trace time; the product tracking path (max_matches=512) therefore
+# keeps the mesh-invariant jaxpr for free.
+_PINNED_N_CUTOFF = 1024
+
+
+def _auto_pinned(n: int, *configs: "RansacConfig") -> bool:
+    return any(c.mesh_invariant for c in configs) or n <= _PINNED_N_CUTOFF
 
 
 class RansacResult(NamedTuple):
@@ -143,10 +166,11 @@ def ransac_essential(
     (a ``NamedSharding`` over the hypothesis axis) shards solve+scoring
     across a mesh without changing any result bit.
     """
+    pinned = _auto_pinned(pts1.shape[-2], config)
     return _ransac(
         key, pts1, pts2, mask, config,
-        solver=eight_point_essential,
-        scorer=sampson_error,
+        solver=partial(eight_point_essential, pinned=pinned),
+        scorer=partial(sampson_error, pinned=pinned),
         sample_size=8,
         threshold=threshold,
         hypothesis_sharding=hypothesis_sharding,
@@ -167,10 +191,11 @@ def ransac_homography(
 
     Parity: ``homography.py:148-216``.
     """
+    pinned = _auto_pinned(pts1.shape[-2], config)
     return _ransac(
         key, pts1, pts2, mask, config,
-        solver=dlt_homography,
-        scorer=symmetric_transfer_error,
+        solver=partial(dlt_homography, pinned=pinned),
+        scorer=partial(symmetric_transfer_error, pinned=pinned),
         sample_size=4,
         threshold=threshold,
         hypothesis_sharding=hypothesis_sharding,
@@ -223,23 +248,25 @@ def ransac_dual_model(
     thr2_h = jnp.square(jnp.asarray(thresh_h, dtype=pts1.dtype))
     num_valid = jnp.sum(mask)
     k_e, k_h = config_e.num_hypotheses, config_h.num_hypotheses
+    pinned = _auto_pinned(pts1.shape[-2], config_e, config_h)
 
     idx_e = _sample_indices(key_e, mask, k_e, 8)  # (K_e, 8)
     idx_h = _sample_indices(key_h, mask, k_h, 4)  # (K_h, 4)
     rows_e = essential_rows(pts1[idx_e], pts2[idx_e])  # (K_e, 8, 9)
-    rows_h, T1, T2 = homography_rows(pts1[idx_h], pts2[idx_h])  # (K_h, 8, 9)
+    rows_h, T1, T2 = homography_rows(pts1[idx_h], pts2[idx_h], pinned=pinned)  # (K_h, 8, 9)
     # One null-space chain for ALL hypotheses of both models. rescue=False:
     # a numerically-failed hypothesis merely loses its RANSAC vote.
     vecs = _smallest_singular_vector(
         jnp.concatenate([rows_e, rows_h], axis=0),
         rescue=False,
         iterations=HYPOTHESIS_EIGVEC_ITERS,
+        pinned=pinned,
     )
     models_e = essential_from_vec(vecs[:k_e], exact_rank2=False)
     models_h = homography_from_vec(vecs[k_e:], T1, T2)
 
-    err_e = sampson_error(models_e, pts1[None], pts2[None])  # (K_e, N)
-    err_h = symmetric_transfer_error(models_h, pts1[None], pts2[None])  # (K_h, N)
+    err_e = sampson_error(models_e, pts1[None], pts2[None], pinned=pinned)  # (K_e, N)
+    err_h = symmetric_transfer_error(models_h, pts1[None], pts2[None], pinned=pinned)  # (K_h, N)
     inl_e = (err_e < thr2_e) & mask[None, :]
     inl_h = (err_h < thr2_h) & mask[None, :]
     best_e = jnp.argmax(jnp.sum(inl_e, axis=1))
@@ -252,24 +279,30 @@ def ransac_dual_model(
         w_e = inliers_e.astype(pts1.dtype)
         w_h = inliers_h.astype(pts1.dtype)
         re = essential_rows(pts1, pts2, w_e)  # (N, 9)
-        rh, T1f, T2f = homography_rows(pts1, pts2, w_h)  # (2N, 9)
+        rh, T1f, T2f = homography_rows(pts1, pts2, w_h, pinned=pinned)  # (2N, 9)
         re_padded = jnp.concatenate([re, jnp.zeros_like(re)], axis=0)
         # One chain for both refits; rescue=True — a poisoned refit would
         # poison the frame's final model. REFIT iterations: clean inlier
         # spectra converge in 1-2 rounds (must mirror the single-model
         # refit path in eight_point_essential/dlt_homography bit-for-bit).
         v2 = _smallest_singular_vector(
-            jnp.stack([re_padded, rh]), rescue=True, iterations=REFIT_EIGVEC_ITERS
+            jnp.stack([re_padded, rh]),
+            rescue=True,
+            iterations=REFIT_EIGVEC_ITERS,
+            pinned=pinned,
         )
         refit_e = essential_from_vec(v2[0], exact_rank2=True)
         refit_h = homography_from_vec(v2[1], T1f, T2f)
         if r < config_e.refit_rounds:
             model_e = jnp.where(jnp.sum(w_e) >= 8, refit_e, model_e)
-            inliers_e = (sampson_error(model_e[None], pts1[None], pts2[None])[0] < thr2_e) & mask
+            inliers_e = (
+                sampson_error(model_e[None], pts1[None], pts2[None], pinned=pinned)[0] < thr2_e
+            ) & mask
         if r < config_h.refit_rounds:
             model_h = jnp.where(jnp.sum(w_h) >= 4, refit_h, model_h)
             inliers_h = (
-                symmetric_transfer_error(model_h[None], pts1[None], pts2[None])[0] < thr2_h
+                symmetric_transfer_error(model_h[None], pts1[None], pts2[None], pinned=pinned)[0]
+                < thr2_h
             ) & mask
 
     def _result(model, inliers, cfg, sample_size):

@@ -22,6 +22,7 @@ Both paths compile and run on an N-virtual-device CPU mesh for testing
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 from typing import Optional, Tuple
 
@@ -67,6 +68,9 @@ def batched_track_pairs(
     axis = mesh.axis_names[0]
     data_sharding = NamedSharding(mesh, P(axis))
     replicated = NamedSharding(mesh, P())
+    # Meshed runs pin the RANSAC reduction order so results are identical
+    # at any per-device batch shape (RansacConfig.mesh_invariant).
+    pose_config = dataclasses.replace(pose_config, mesh_invariant=True)
 
     def pair_step(key, prev_frame, next_frame):
         prev_feats = bootstrap_frame(prev_frame, feature_config)
@@ -110,6 +114,10 @@ def sharded_ransac_essential(
     n_dev = mesh.size
     if config.num_hypotheses % n_dev:
         raise ValueError(f"num_hypotheses ({config.num_hypotheses}) must divide by mesh size {n_dev}")
+    # Pin the reduction order: bit-equality across mesh sizes is this
+    # wrapper's contract (callers comparing against an unsharded run must
+    # set mesh_invariant=True on that run's config too).
+    config = dataclasses.replace(config, mesh_invariant=True)
     hyp_sharding = NamedSharding(mesh, P(axis))
     replicated = NamedSharding(mesh, P())
     pts1 = jax.device_put(pts1, replicated)
@@ -156,6 +164,11 @@ def track_superwindow_meshed(
     axis = mesh.axis_names[0]
     if window % mesh.size:
         raise ValueError(f"window ({window}) must divide by mesh size {mesh.size}")
+    # Pin the RANSAC reduction order (see sharded_ransac_essential) — the
+    # per-device pair batch is window/mesh.size, and dot contractions may
+    # legally reassociate at different batch shapes. An unsharded reference
+    # run must set pose_config.mesh_invariant=True to compare bit-for-bit.
+    pose_config = dataclasses.replace(pose_config, mesh_invariant=True)
     if frames.shape[0] % window:
         raise ValueError("frames length must be a multiple of window")
     num_windows = frames.shape[0] // window

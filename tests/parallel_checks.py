@@ -70,7 +70,9 @@ class TestShardedRansac:
         are bit-equal to the single-device run (VERDICT r1 item 3)."""
         n1, n2 = self._problem()
         mask = jnp.ones(n1.shape[0], bool)
-        cfg = RansacConfig(num_hypotheses=256, threshold=2.0 / 500.0)
+        # mesh_invariant=True on the UNSHARDED reference: the sharded
+        # wrapper forces it, and bit-equality requires the same jaxpr.
+        cfg = RansacConfig(num_hypotheses=256, threshold=2.0 / 500.0, mesh_invariant=True)
         res_single = ransac_essential(jax.random.key(0), n1, n2, mask, cfg)
         assert bool(res_single.success)
         assert int(res_single.num_inliers) > 150
@@ -111,8 +113,13 @@ class TestMeshedSuperwindow:
         frames_np, _, (fx, fy, cx, cy), _ = render_scene(num_frames=17, h=160, w=224, seed=2)
         K = jnp.asarray([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], jnp.float32)
         fc = FeaturePipelineConfig(num_features=256, max_matches=128)
+        # mesh_invariant=True on the UNSHARDED reference run: the meshed
+        # wrapper forces it, and the cross-mesh agreement contract is
+        # defined over the pinned-reduction jaxpr (the single-chip product
+        # default trades that agreement for ~2.4x faster RANSAC).
         pc = RobustPoseEstimatorConfig(
-            num_hypotheses=128, adaptive_threshold=False, essential_threshold_px=2.0
+            num_hypotheses=128, adaptive_threshold=False, essential_threshold_px=2.0,
+            mesh_invariant=True,
         )
         prev = bootstrap_frame(jnp.asarray(frames_np[0]), fc)
         frames = jnp.asarray(np.stack(frames_np[1:]))
