@@ -210,6 +210,46 @@ def main(passes: int = 100):
         note="far from both rooflines ⇒ latency/occupancy-bound",
     )
 
+    # --- dual-model RANSAC at the tracking-program workload ---------------
+    # The product path caps matches at 512 (FeaturePipelineConfig.max_matches)
+    # — the 2048-match row above is the roofline stress workload; this row is
+    # what a real tracked frame pays (VERDICT r3 item 2).
+    n_track = 512
+    sel = np.sort(rng.choice(n, n_track, replace=False))
+    pix1_t = pix1[sel]
+    pix2_t = pix2[sel]
+    mask_t = jnp.ones(n_track, bool)
+
+    def ransac_stage_t(p):
+        return estimate_pose_device(jax.random.key(0), p, pix2_t, mask_t, K, pc)
+
+    ms = _time_loop(ransac_stage_t, lambda c: pix1_t + jnp.minimum(c, 0.0), passes)
+    _emit_stage(
+        "ransac_dual_model_n512", ms,
+        (N_HYP_E + N_HYP_H) * n_track * 4 * 2 * 1e-9, 0.03,
+        note="tracking-program workload (512 matches)",
+    )
+
+    # --- whole fused tracking step ----------------------------------------
+    # detect+describe+match+RANSAC as the product runs it (slam/tracking
+    # track_frame): the sum-of-stages sanity check and the source of the
+    # "device compute per frame" headline in BASELINE.md/PERF.md.
+    from mvslam_tpu.frontend.feature_pipeline import FeaturePipelineConfig
+    from mvslam_tpu.slam.tracking import bootstrap_frame, track_frame
+
+    fcfg = FeaturePipelineConfig()
+    prev = bootstrap_frame(image, fcfg)
+
+    def step_stage(img):
+        feats, track = track_frame(jax.random.key(7), prev, img, K, fcfg, pc)
+        return track.scalars_packed, feats.xy
+
+    ms = _time_loop(step_stage, lambda c: image + c, passes)
+    _emit_stage(
+        "fused_step", ms, 0.0, 0.0,
+        note="whole tracking program (detect+describe+match+pose), fps=%.0f" % (1e3 / ms),
+    )
+
 
 if __name__ == "__main__":
     main()
