@@ -480,6 +480,7 @@ class SLAMSystem:
         timestamps: Optional[Sequence[float]] = None,
         window: int = 8,
         windows_per_dispatch: int = 1,
+        on_frame=None,
     ) -> List[FrameDiagnostics]:
         """Batch-process frames with windowed device dispatch.
 
@@ -490,19 +491,29 @@ class SLAMSystem:
         additionally scans that many windows inside ONE device program
         (``track_superwindow``), amortising per-launch overhead further.
         Per-frame RNG folds the global frame id, so any window/dispatch
-        shape produces the identical trajectory.
+        shape produces the identical trajectory. ``on_frame(diag)`` runs
+        after each frame's host bookkeeping (keyframes/relocalization) —
+        the hook point for host consumers like loop closure
+        (``slam.offline``); in windowed mode it lags the device by one
+        window, exactly like the rest of the host logic.
         """
         ts = timestamps if timestamps is not None else [float(i) for i in range(len(frames))]
-        return self._run_windowed(zip(frames, ts), window, windows_per_dispatch)
+        return self._run_windowed(zip(frames, ts), window, windows_per_dispatch, on_frame)
 
     def _run_windowed(
-        self, pair_iter, window: int, windows_per_dispatch: int = 1
+        self, pair_iter, window: int, windows_per_dispatch: int = 1, on_frame=None
     ) -> List[FrameDiagnostics]:
         """Windowed, depth-2-pipelined tracking over an iterator of
         (frame, timestamp) pairs — shared by run_sequence and run_stream."""
         pair_iter = iter(pair_iter)
+        if on_frame is None:
+            on_frame = lambda diag: None
         if window <= 1:
-            return [self.process_frame(f, t) for f, t in pair_iter]
+            diags = []
+            for f, t in pair_iter:
+                diags.append(self.process_frame(f, t))
+                on_frame(diags[-1])
+            return diags
 
         from mvslam_tpu.slam.tracking import track_superwindow, track_window
 
@@ -515,6 +526,7 @@ class SLAMSystem:
             if first is None:
                 return diags
             diags.append(self.process_frame(first[0], first[1]))
+            on_frame(diags[-1])
 
         exhausted = False
 
@@ -576,6 +588,7 @@ class SLAMSystem:
                         frame_id, chunk_ts[i], diag, scalars_i, provider_for(i)
                     )
                 diags.append(diag)
+                on_frame(diag)
 
         # Depth-2 pipeline: dispatch window i+1 (its prev-features input is
         # a device-side dependency — never fetched) BEFORE processing window
@@ -638,14 +651,15 @@ class SLAMSystem:
         packets: Iterable[FramePacket],
         window: int = 8,
         windows_per_dispatch: int = 1,
+        on_frame=None,
     ) -> List[FrameDiagnostics]:
         """Streamed tracking with the same windowed pipelined engine.
 
         Parity: ``slam_api.py:364-374``; ``window=1`` gives the per-frame
-        latency path.
+        latency path. ``on_frame(diag)`` — see :meth:`run_sequence`.
         """
         return self._run_windowed(
-            ((p.frame, p.timestamp) for p in packets), window, windows_per_dispatch
+            ((p.frame, p.timestamp) for p in packets), window, windows_per_dispatch, on_frame
         )
 
     def run_stream_async(

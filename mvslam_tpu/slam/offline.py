@@ -65,6 +65,14 @@ class SLAMRunConfig:
     # Pose source: "features" or "flow_first" (LK tracks with matching
     # fallback — the reference's pose priority chain, ref L484-539)
     pose_source: str = "features"
+    # Windowed device dispatch: frames per device program (and programs
+    # scanned per dispatch). window>1 amortises the host<->device round
+    # trip by the window size — the throughput path on a tunneled chip;
+    # per-frame RNG folds global frame ids so the trajectory is identical
+    # at any window shape (slam/api.py run_sequence). flow_first forces
+    # window=1 (the LK chain is inherently pairwise-sequential).
+    window: int = 8
+    windows_per_dispatch: int = 1
     # Evaluation
     ground_truth_path: Optional[Path] = None
     # Animation
@@ -334,18 +342,29 @@ def run_visual_slam(config: SLAMRunConfig) -> Dict[str, Any]:
     loops_detected: List[Dict[str, Any]] = []
     loops_accepted: List[Dict[str, Any]] = []
     seen_keyframes = 0
-    prev_frame: Optional[np.ndarray] = None
 
-    for packet in packets:
-        frame = packet.frame
-        if config.enable_dynamic_masking:
-            frame = mask_dynamic_regions(frame, prev_frame, config.dynamic_diff_threshold)
-            prev_frame = np.asarray(packet.frame)
-        diag = system.process_frame(frame, packet.timestamp)
+    def frame_pairs():
+        """(frame, timestamp) stream with optional dynamic masking."""
+        prev_frame: Optional[np.ndarray] = None
+        for packet in packets:
+            frame = packet.frame
+            if config.enable_dynamic_masking:
+                frame = mask_dynamic_regions(frame, prev_frame, config.dynamic_diff_threshold)
+                prev_frame = np.asarray(packet.frame)
+            yield frame, packet.timestamp
+
+    def on_frame(diag):
+        """Per-frame host consumer: animation + loop closure.
+
+        Runs after the engine's own host bookkeeping (keyframes,
+        relocalization) for that frame; in windowed mode it lags the
+        device by one window, like all host logic.
+        """
+        nonlocal seen_keyframes
         if animator is not None:
             animator.update(system.pose)
         if not config.enable_loop_closure:
-            continue
+            return
         # New keyframe → feed BoW, query for loops (host logic).
         if len(system.keyframes) > seen_keyframes:
             seen_keyframes = len(system.keyframes)
@@ -353,13 +372,13 @@ def run_visual_slam(config: SLAMRunConfig) -> Dict[str, Any]:
             hit = bow.detect_loop(kf.frame_id, kf.descriptors, kf.valid) if bow.is_trained else None
             bow.add_frame(kf.frame_id, kf.descriptors, kf.valid)
             if hit is None:
-                continue
+                return
             cand_frame_id, score = hit
             cand = next(
                 (k for k in system.keyframes.keyframes if k.frame_id == cand_frame_id), None
             )
             if cand is None:
-                continue
+                return
             loops_detected.append(
                 {"query": kf.frame_id, "candidate": cand_frame_id, "bow_score": score}
             )
@@ -376,7 +395,7 @@ def run_visual_slam(config: SLAMRunConfig) -> Dict[str, Any]:
             )
             verified = _verify_loop(system, cand, kf, config, kf_a_next=cand_next)
             if verified is None:
-                continue
+                return
             rel, inliers, ratio = verified
             loops_accepted.append(
                 {
@@ -423,6 +442,15 @@ def run_visual_slam(config: SLAMRunConfig) -> Dict[str, Any]:
                 "loop accepted",
                 extra={"query": kf.frame_id, "candidate": cand_frame_id, "inliers": inliers},
             )
+
+    # Windowed device dispatch (one program + one scalar pull per window)
+    # with the per-frame host logic — including the loop-closure hook
+    # above — running as the engine's on_frame callback. The reference
+    # demo loops frame-by-frame (ref L433-679); per-frame dispatch on a
+    # tunneled chip pays ~3 network round trips PER FRAME, which windowing
+    # amortises by the window size with a bit-identical trajectory.
+    window = 1 if config.pose_source == "flow_first" else max(1, config.window)
+    system._run_windowed(frame_pairs(), window, config.windows_per_dispatch, on_frame)
 
     result = system.finalize_run()
     summary: Dict[str, Any] = {
@@ -506,6 +534,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
     parser.add_argument("--ground-truth", type=Path, default=None)
     parser.add_argument("--animate", action="store_true")
+    parser.add_argument("--window", type=int, default=8, help="frames per device program")
+    parser.add_argument(
+        "--windows-per-dispatch", type=int, default=1,
+        help="windows scanned inside one device program (throughput mode)",
+    )
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     summary = run_visual_slam(
@@ -529,6 +562,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             pose_source=args.pose_source,
             ground_truth_path=args.ground_truth,
             enable_animation=args.animate,
+            window=args.window,
+            windows_per_dispatch=args.windows_per_dispatch,
         )
     )
     print(

@@ -420,13 +420,14 @@ def feature_set_from_arrays(xy, descriptors, valid) -> FeatureSet:
 
 
 
-_FEATURE_FETCH_CACHE: dict = {}
+_FEATURE_FETCH_CACHE: "OrderedDict" = __import__("collections").OrderedDict()
+_FEATURE_FETCH_CACHE_CAP = 8
 
 
 def pull_features(track: TrackResult):
     """Numpy (xy, descriptors, valid) of the tracked frame(s).
 
-    ONE lazy fetch per TrackResult (cached by buffer id): only windows
+    ONE lazy fetch per TrackResult (LRU keyed by buffer id): only windows
     that actually create keyframes / relocalize pay the ~35 ms/MB feature
     transfer; the per-window scalar pull stays ~1.5 KB.
     """
@@ -434,11 +435,14 @@ def pull_features(track: TrackResult):
     entry = _FEATURE_FETCH_CACHE.get(key)
     # The entry pins the source buffer: without that reference, a GC'd
     # array's id could be reused by a NEW buffer and hit stale features.
+    # The identity check makes id reuse harmless even across eviction.
     if entry is None or entry[0] is not track.features_packed:
-        if len(_FEATURE_FETCH_CACHE) > 8:
-            _FEATURE_FETCH_CACHE.clear()
         entry = (track.features_packed, unpack_features(np.asarray(track.features_packed)))
         _FEATURE_FETCH_CACHE[key] = entry
+        while len(_FEATURE_FETCH_CACHE) > _FEATURE_FETCH_CACHE_CAP:
+            _FEATURE_FETCH_CACHE.popitem(last=False)  # evict LRU, keep the rest
+    else:
+        _FEATURE_FETCH_CACHE.move_to_end(key)
     return entry[1]
 
 
