@@ -370,18 +370,35 @@ def triangulate_points(
     """Triangulate matched pixels from two world-from-camera poses.
 
     Parity: ``bundle_adjustment.py:69-80`` (batched DLT instead of cv2).
+
+    Host numpy on purpose: this is called from the host-side window
+    assembler in a Python loop over (first, last) keyframe spans with
+    irregular per-span point counts. The eager-jax version dispatched
+    ~300 tiny device ops PER SPAN — milliseconds on CPU, but ~40 ms/op
+    over a tunneled TPU, which made every keyframe insertion take minutes
+    (observed live r4). A batched (N, 4, 4) numpy SVD is microseconds,
+    keeps the device free for the big regular programs, and needs no
+    per-shape recompiles.
     """
-    from mvslam_tpu.geometry.projection import triangulate_dlt
-
-    Kj = jnp.asarray(K, jnp.float32)
     def proj(T):
-        T_cw = np.linalg.inv(T)
-        return Kj @ jnp.asarray(T_cw[:3, :], jnp.float32)
+        T_cw = np.linalg.inv(np.asarray(T, np.float64))
+        return np.asarray(K, np.float64) @ T_cw[:3, :]
 
-    X = triangulate_dlt(
-        proj(pose1), proj(pose2), jnp.asarray(uv1, jnp.float32), jnp.asarray(uv2, jnp.float32)
-    )
-    return np.asarray(X, dtype=np.float64)
+    def rows(P, pts):
+        u = pts[:, 0:1]
+        v = pts[:, 1:2]
+        r1 = u * P[2:3, :] - P[0:1, :]
+        r2 = v * P[2:3, :] - P[1:2, :]
+        return np.stack([r1, r2], axis=1)  # (N, 2, 4)
+
+    uv1 = np.asarray(uv1, np.float64)
+    uv2 = np.asarray(uv2, np.float64)
+    A = np.concatenate([rows(proj(pose1), uv1), rows(proj(pose2), uv2)], axis=1)  # (N,4,4)
+    _, _, Vt = np.linalg.svd(A)
+    X = Vt[:, -1, :]  # smallest right singular vector per point
+    w = X[:, 3]
+    scale = np.where(np.abs(w) < 1e-12, 1e-12, w)
+    return (X[:, :3] / scale[:, None]).astype(np.float64)
 
 
 class WindowBundleAdjuster:

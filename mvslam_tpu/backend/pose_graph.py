@@ -13,10 +13,10 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Dict, List, Optional
 
-import jax.numpy as jnp
 import numpy as np
 
 from mvslam_tpu.backend.factor_graph import MODELS, FactorGraph
+from mvslam_tpu.geometry import lie_np
 from mvslam_tpu.backend.solvers import (
     DEFAULT_REGISTRY,
     SolverConfig,
@@ -35,6 +35,19 @@ class PoseGraphSnapshot:
 
     def to_dict(self) -> Dict:
         return self.__dict__.copy()
+
+
+# Host-side (numpy) group composition for chain building. The graph is
+# assembled per-edge in Python loops; the jax GroupModel.compose would
+# dispatch each tiny op to the device eagerly — ruinous over a tunneled
+# chip (see geometry.lie_np). The jitted solver keeps the jax models.
+_HOST_COMPOSE = {
+    "se2": lambda x, d: lie_np.se2_params(lie_np.se2_matrix(x) @ lie_np.se2_matrix(d)),
+    "se3": lambda x, d: lie_np.se3_matrix_to_params(
+        lie_np.se3_params_to_matrix(x) @ lie_np.se3_params_to_matrix(d)
+    ),
+    "sim3": lambda x, d: lie_np.sim3_params(lie_np.sim3_matrix(x) @ lie_np.sim3_matrix(d)),
+}
 
 
 class PoseGraphBase:
@@ -62,8 +75,9 @@ class PoseGraphBase:
         Parity: ``pose_graph.py:162-171`` (SE2) / L263-272 (SE3) / L374-384.
         """
         delta = np.asarray(delta, dtype=np.float64).reshape(self.model.dim)
-        prev = jnp.asarray(self._params[-1])
-        new = np.asarray(self.model.compose(prev, jnp.asarray(delta)), dtype=np.float64)
+        new = np.asarray(
+            _HOST_COMPOSE[self.model_name](self._params[-1], delta), dtype=np.float64
+        )
         i = len(self._params) - 1
         self._params.append(new)
         self._odometry.append((i, i + 1, delta, float(weight)))
@@ -117,9 +131,7 @@ class PoseGraph(PoseGraphBase):
 
     def poses(self) -> np.ndarray:
         """(N, 3, 3) homogeneous transforms."""
-        from mvslam_tpu.geometry.lie import se2_matrix
-
-        return np.asarray(se2_matrix(jnp.asarray(self.params)))
+        return np.asarray(lie_np.se2_matrix(self.params))
 
 
 class PoseGraph3D(PoseGraphBase):
@@ -130,34 +142,22 @@ class PoseGraph3D(PoseGraphBase):
     @classmethod
     def from_pose_matrices(cls, poses, weight: float = 1.0, **kwargs) -> "PoseGraph3D":
         """Build an odometry chain from (N, 4, 4) absolute poses."""
-        from mvslam_tpu.backend.factor_graph import SE3Model
-
         graph = cls(**kwargs)
         poses = [np.asarray(p, dtype=np.float64) for p in poses]
         if poses:
-            graph._params = [
-                np.asarray(SE3Model.matrix_to_params(jnp.asarray(poses[0])), dtype=np.float64)
-            ]
+            graph._params = [lie_np.se3_matrix_to_params(poses[0])]
             for a, b in zip(poses[:-1], poses[1:]):
                 graph.add_pose_matrix(np.linalg.inv(a) @ b, weight)
         return graph
 
     def poses(self) -> np.ndarray:
-        from mvslam_tpu.backend.factor_graph import SE3Model
-
-        return np.asarray(SE3Model.params_to_matrix(jnp.asarray(self.params)))
+        return np.asarray(lie_np.se3_params_to_matrix(self.params))
 
     def add_pose_matrix(self, T_delta: np.ndarray, weight: float = 1.0) -> int:
-        from mvslam_tpu.backend.factor_graph import SE3Model
-
-        delta = np.asarray(SE3Model.matrix_to_params(jnp.asarray(T_delta)))
-        return self.add_pose(delta, weight)
+        return self.add_pose(lie_np.se3_matrix_to_params(T_delta), weight)
 
     def add_loop_matrix(self, i: int, j: int, T_meas: np.ndarray, weight: float = 1.0) -> None:
-        from mvslam_tpu.backend.factor_graph import SE3Model
-
-        meas = np.asarray(SE3Model.matrix_to_params(jnp.asarray(T_meas)))
-        self.add_loop(i, j, meas, weight)
+        self.add_loop(i, j, lie_np.se3_matrix_to_params(T_meas), weight)
 
 
 class PoseGraphSim3D(PoseGraphBase):
@@ -166,6 +166,4 @@ class PoseGraphSim3D(PoseGraphBase):
     model_name = "sim3"
 
     def poses(self) -> np.ndarray:
-        from mvslam_tpu.geometry.lie import sim3_matrix
-
-        return np.asarray(sim3_matrix(jnp.asarray(self.params)))
+        return np.asarray(lie_np.sim3_matrix(self.params))

@@ -156,6 +156,32 @@ def _load_frames(config: SLAMRunConfig):
     raise ValueError(f"unknown input kind {config.input_kind!r}")
 
 
+_DECOMP_TRIANGULATE = None
+
+
+def _decompose_triangulate(model, n1, n2, weights):
+    """Jitted decompose_essential + triangulate_normalized.
+
+    The eager forms dispatch ~100 tiny ops each (unrolled inverse
+    iterations) — instant on CPU, minutes over a tunneled TPU when run
+    per loop candidate. One jit (shapes are max_matches-padded, so it
+    compiles once per process) makes each call a single dispatch.
+    """
+    global _DECOMP_TRIANGULATE
+    if _DECOMP_TRIANGULATE is None:
+        import jax
+
+        from mvslam_tpu.geometry.epipolar import decompose_essential, triangulate_normalized
+
+        def impl(model, n1, n2, weights):
+            R, t, _ = decompose_essential(model, n1, n2, weights=weights)
+            X = triangulate_normalized(R, t, n1, n2)
+            return R, t, X
+
+        _DECOMP_TRIANGULATE = jax.jit(impl)
+    return _DECOMP_TRIANGULATE(model, n1, n2, weights)
+
+
 def _match_pair_essential(system, kf_a, kf_b, min_inliers: int, salt: int):
     """Match two keyframes and fit an essential model.
 
@@ -214,8 +240,6 @@ def _loop_scale_from_structure(system, kf_a, kf_a_next, loop_sel, loop_depths, l
     """
     import jax.numpy as jnp
 
-    from mvslam_tpu.geometry.epipolar import decompose_essential, triangulate_normalized
-
     pair = _match_pair_essential(
         system, kf_a, kf_a_next, min_inliers=15, salt=int(kf_a.frame_id) * 2 + 1
     )
@@ -225,10 +249,10 @@ def _loop_scale_from_structure(system, kf_a, kf_a_next, loop_sel, loop_depths, l
     chain_base = float(np.linalg.norm(kf_a_next.pose[:3, 3] - kf_a.pose[:3, 3]))
     if chain_base < 1e-9:
         return None
-    R_n, t_n, _ = decompose_essential(
-        ransac_n.model, n1_n, n2_n, weights=ransac_n.inliers.astype(jnp.float32)
+    _, _, X_n = _decompose_triangulate(
+        ransac_n.model, n1_n, n2_n, ransac_n.inliers.astype(jnp.float32)
     )
-    X_n = np.asarray(triangulate_normalized(R_n, t_n, n1_n, n2_n))
+    X_n = np.asarray(X_n)
     z_chain = X_n[:, 2] * chain_base  # depths of kf_a features, chain units
     idx_chain = np.asarray(sel_n.pairs[:, 0])
     ok_chain = np.asarray(sel_n.valid) & np.asarray(ransac_n.inliers) & (X_n[:, 2] > 1e-6)
@@ -262,8 +286,6 @@ def _verify_loop(system, kf_a, kf_b, config: SLAMRunConfig, kf_a_next=None):
     """
     import jax.numpy as jnp
 
-    from mvslam_tpu.geometry.epipolar import decompose_essential, triangulate_normalized
-
     pair = _match_pair_essential(
         system, kf_a, kf_b, min_inliers=config.loop_min_inliers, salt=int(kf_b.frame_id)
     )
@@ -274,10 +296,10 @@ def _verify_loop(system, kf_a, kf_b, config: SLAMRunConfig, kf_a_next=None):
     ratio = float(ransac.inlier_ratio)
     if ratio < config.loop_min_inlier_ratio:
         return None
-    R, t, _ = decompose_essential(
-        ransac.model, n1, n2, weights=ransac.inliers.astype(jnp.float32)
+    R, t, X_loop = _decompose_triangulate(
+        ransac.model, n1, n2, ransac.inliers.astype(jnp.float32)
     )
-    X_loop = np.asarray(triangulate_normalized(R, t, n1, n2))
+    X_loop = np.asarray(X_loop)
     R = np.asarray(R, np.float64)
     t = np.asarray(t, np.float64)
     # Loop-edge scale: structure transfer through kf_a's chain neighbour

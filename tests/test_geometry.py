@@ -219,3 +219,75 @@ class TestEpipolar:
         assert H.shape == (4, 3, 3)
         err = jax.vmap(symmetric_transfer_error)(H, pts1, pts2)
         assert float(jnp.max(err)) < 1e-4
+
+
+class TestLieNumpyPort:
+    """geometry.lie_np re-evaluates the SAME code objects as geometry.lie
+    with jnp rebound to numpy (host pose-graph assembly must never dispatch
+    eager device ops — ~40 ms/op over a tunneled chip). Contract: numpy and
+    jax agree to f64 roundoff, including the near-pi so3_log branch."""
+
+    def test_so3_exp_log_matches_jax(self):
+        from mvslam_tpu.geometry import lie, lie_np
+
+        with jax.enable_x64(True):
+            rng = np.random.default_rng(0)
+            for i in range(60):
+                rvec = rng.normal(0, 2, 3)
+                if i % 4 == 0:  # near-pi: the conditioning-critical branch
+                    axis = rng.normal(0, 1, 3)
+                    axis /= np.linalg.norm(axis)
+                    rvec = axis * (np.pi - 10.0 ** -rng.uniform(1, 7))
+                R_np = lie_np.so3_exp(np.asarray(rvec))
+                R_jx = np.asarray(lie.so3_exp(jnp.asarray(rvec, jnp.float64)))
+                np.testing.assert_allclose(R_np, R_jx, atol=1e-12)
+                l_np = lie_np.so3_log(R_np)
+                l_jx = np.asarray(lie.so3_log(jnp.asarray(R_np, jnp.float64)))
+                np.testing.assert_allclose(l_np, l_jx, atol=1e-12)
+
+    def test_group_ops_match_jax(self):
+        from mvslam_tpu.geometry import lie, lie_np
+
+        with jax.enable_x64(True):
+            rng = np.random.default_rng(1)
+            x = rng.normal(0, 1, (5, 6))
+            T = lie_np.se3_params_to_matrix(x)
+            np.testing.assert_allclose(lie_np.se3_matrix_to_params(T), x, atol=1e-9)
+            np.testing.assert_allclose(
+                lie_np.se3_inverse(T[0]),
+                np.asarray(lie.se3_inverse(jnp.asarray(T[0], jnp.float64))),
+                atol=1e-12,
+            )
+            p2 = rng.normal(0, 1, (4, 3))
+            np.testing.assert_allclose(
+                lie_np.se2_matrix(p2),
+                np.asarray(lie.se2_matrix(jnp.asarray(p2, jnp.float64))),
+                atol=1e-12,
+            )
+            p7 = rng.normal(0, 0.5, (4, 7))
+            S = lie_np.sim3_matrix(p7)
+            np.testing.assert_allclose(
+                S, np.asarray(lie.sim3_matrix(jnp.asarray(p7, jnp.float64))), atol=1e-12
+            )
+            np.testing.assert_allclose(
+                lie_np.sim3_params(S),
+                np.asarray(lie.sim3_params(jnp.asarray(S, jnp.float64))),
+                atol=1e-12,
+            )
+
+    def test_pose_graph_host_paths_are_device_free(self):
+        """Graph assembly must not create jax arrays (the eager-dispatch
+        regression this port exists to prevent)."""
+        from mvslam_tpu.backend.pose_graph import PoseGraph3D
+
+        poses = [np.eye(4)]
+        for k in range(6):
+            T = np.eye(4)
+            T[:3, 3] = [0.1 * (k + 1), 0.0, 0.02 * k]
+            poses.append(poses[-1] @ T)
+        g = PoseGraph3D.from_pose_matrices(poses)
+        g.add_loop_matrix(0, len(poses) - 1, np.eye(4), weight=5.0)
+        assert all(isinstance(p, np.ndarray) for p in g._params)
+        out = g.poses()
+        assert isinstance(out, np.ndarray) and out.shape == (len(poses), 4, 4)
+        np.testing.assert_allclose(out[1][:3, 3], poses[1][:3, 3], atol=1e-9)
