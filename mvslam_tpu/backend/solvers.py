@@ -323,20 +323,68 @@ def gauss_newton_core(
     return x_final, final_cost, outs, bin_edges, counts
 
 
+# Bucket sizes for the jitted GN core: pose graphs GROW (every accepted
+# loop closure re-optimises a graph with more nodes/edges), and a jit
+# keyed on exact (N, E) recompiles on every size — measured live r4 as
+# the dominant cost of the full offline pipeline (each tunnel compile is
+# seconds, each loop acceptance a new size). Padding to the next
+# power-of-two bucket makes sizes within a 2x band share ONE compiled
+# program: padded variables are anchored (identity rows), padded edges
+# carry weight 0 — and weights scale both residuals and Jacobians
+# (factor_graph.make_*_fn), so padding contributes exactly zero to cost,
+# gradient, and steps. Same mechanism the sharded solvers already use
+# (parallel/mesh.py zero-weight factor padding).
+_BUCKET_MIN = 8
+
+
+def _bucket(n: int) -> int:
+    return max(_BUCKET_MIN, 1 << (int(n) - 1).bit_length())
+
+
+def _pad_problem(problem: GraphProblem):
+    """Pad (variables, edges) up to bucket sizes; returns (problem, e_pad)."""
+    n, e = problem.num_variables, problem.num_factors
+    n_pad = _bucket(n) - n
+    e_pad = _bucket(e) - e
+    if not (n_pad or e_pad):
+        return problem, 0
+    d = problem.x0.shape[1]
+    x0 = jnp.concatenate([jnp.asarray(problem.x0), jnp.zeros((n_pad, d), jnp.asarray(problem.x0).dtype)])
+    anchor = jnp.concatenate(
+        [jnp.asarray(problem.anchor_mask, bool), jnp.ones((n_pad,), bool)]
+    )
+    edges = jnp.concatenate(
+        [jnp.asarray(problem.edges, jnp.int32), jnp.zeros((e_pad, 2), jnp.int32)]
+    )
+    meas = jnp.concatenate(
+        [jnp.asarray(problem.measurements), jnp.zeros((e_pad, d), jnp.asarray(problem.measurements).dtype)]
+    )
+    weights = jnp.concatenate(
+        [jnp.asarray(problem.weights), jnp.zeros((e_pad,), jnp.asarray(problem.weights).dtype)]
+    )
+    return (
+        GraphProblem(x0, edges, meas, weights, anchor, problem.model_name),
+        e_pad,
+    )
+
+
 def solve_problem(problem: GraphProblem, config: SolverConfig) -> SolverResult:
     """Host wrapper: run the jitted core, package diagnostics."""
     if problem.num_factors == 0 or problem.num_variables == 0:
         x = np.asarray(problem.x0)
         return SolverResult(x, 0.0, 0.0, 0, True, 0)
+    n_real = problem.num_variables
+    padded, e_pad = _pad_problem(problem)
     x_final, final_cost, outs, bin_edges, counts = gauss_newton_core(
-        problem.x0,
-        problem.edges,
-        problem.measurements,
-        problem.weights,
-        problem.anchor_mask,
-        problem.model_name,
+        padded.x0,
+        padded.edges,
+        padded.measurements,
+        padded.weights,
+        padded.anchor_mask,
+        padded.model_name,
         config,
     )
+    x_final = x_final[:n_real]
     cost = np.asarray(outs.cost)
     grad = np.asarray(outs.grad_norm)
     step = np.asarray(outs.step_norm)
@@ -348,9 +396,14 @@ def solve_problem(problem: GraphProblem, config: SolverConfig) -> SolverResult:
         if active[i]
     ]
     converged = iters < config.max_iterations
+    counts = np.asarray(counts).copy()
+    if e_pad:
+        # Padded zero-weight edges have residual 0 — they land in bin 0;
+        # keep the histogram about REAL factors.
+        counts[0] = max(0.0, counts[0] - e_pad)
     hist = ResidualHistogram(
         edges=[float(v) for v in np.asarray(bin_edges)],
-        counts=[int(v) for v in np.asarray(counts)],
+        counts=[int(v) for v in counts],
     )
     return SolverResult(
         x=np.asarray(x_final),
