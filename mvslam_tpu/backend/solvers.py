@@ -332,8 +332,12 @@ def gauss_newton_core(
 # program: padded variables are anchored (identity rows), padded edges
 # carry weight 0 — and weights scale both residuals and Jacobians
 # (factor_graph.make_*_fn), so padding contributes exactly zero to cost,
-# gradient, and steps. Same mechanism the sharded solvers already use
-# (parallel/mesh.py zero-weight factor padding).
+# gradient, and steps (agreement with the unpadded program is ULP-tight,
+# not bitwise: the larger dense-solve/segment_sum shapes reduce in a
+# different order — measured ≤2.4e-7 over 12 GN iterations, see
+# tests/test_backend_solvers.py::TestBucketPadding). Same mechanism the
+# sharded solvers already use (parallel/mesh.py zero-weight factor
+# padding).
 _BUCKET_MIN = 8
 
 

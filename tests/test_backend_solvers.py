@@ -190,3 +190,62 @@ class TestSolvers:
         problem = self._problem()
         result = solve_problem(problem, SolverConfig(max_iterations=10, damping=1e-4))
         assert np.allclose(result.x[0], np.asarray(problem.x0[0]), atol=1e-6)
+
+
+class TestBucketPadding:
+    """Bucket padding (solve_problem pads variables/edges to power-of-two
+    buckets so growing pose graphs reuse compiled programs) must be
+    numerically invisible: zero-weight edges scale residuals AND
+    Jacobians, and padded variables are anchored identity rows, so the
+    padded terms are exact zeros. The larger dense solve / segment_sum
+    shapes may still differ in reduction order, so agreement is
+    ULP-tight, not bitwise (measured max 2.4e-7 over 12 GN iterations)."""
+
+    def _problem(self, n_loops=1):
+        g = square_trajectory_graph()
+        for k in range(n_loops):
+            g.add_loop(k % 3, len(g) - 1 - (k % 2), np.zeros(3), weight=10.0)
+        return g._build_graph().build_problem()
+
+    def test_padding_is_numerically_invisible(self):
+        from mvslam_tpu.backend.solvers import gauss_newton_core
+
+        problem = self._problem()
+        # Sizes must actually trigger padding, or the test is vacuous.
+        assert problem.num_variables & (problem.num_variables - 1) or \
+            problem.num_factors & (problem.num_factors - 1)
+        config = SolverConfig(max_iterations=12, damping=1e-4)
+        padded = solve_problem(problem, config)
+        x_raw, cost_raw, *_ = gauss_newton_core(
+            jnp.asarray(problem.x0),
+            jnp.asarray(problem.edges, jnp.int32),
+            jnp.asarray(problem.measurements),
+            jnp.asarray(problem.weights),
+            jnp.asarray(problem.anchor_mask, bool),
+            problem.model_name,
+            config,
+        )
+        np.testing.assert_allclose(padded.x, np.asarray(x_raw), atol=1e-5, rtol=1e-5)
+        assert padded.final_cost == pytest.approx(float(cost_raw), rel=1e-6, abs=1e-8)
+
+    def test_sizes_within_band_share_one_program(self):
+        from mvslam_tpu.backend.solvers import _bucket, gauss_newton_core
+
+        config = SolverConfig(max_iterations=4, damping=1e-4)
+        base = self._problem(n_loops=1)
+        cache_before = gauss_newton_core._cache_size()
+        solve_problem(base, config)
+        first = gauss_newton_core._cache_size()
+        # Grow the graph loop-by-loop (the offline pipeline's access
+        # pattern); every size inside the same (variables, edges) bucket
+        # band must hit the already-compiled program.
+        grown = self._problem(n_loops=2)
+        assert _bucket(grown.num_variables) == _bucket(base.num_variables)
+        assert _bucket(grown.num_factors) == _bucket(base.num_factors)
+        solve_problem(grown, config)
+        assert gauss_newton_core._cache_size() == first > cache_before
+
+    def test_histogram_counts_real_factors_only(self):
+        problem = self._problem()
+        result = solve_problem(problem, SolverConfig(max_iterations=6, damping=1e-4))
+        assert sum(result.residual_histogram.counts) == problem.num_factors
