@@ -250,6 +250,33 @@ def main(passes: int = 100):
         note="whole tracking program (detect+describe+match+pose), fps=%.0f" % (1e3 / ms),
     )
 
+    # --- windowed throughput step ------------------------------------
+    # track_window is the run_sequence/bench.py throughput path: all B
+    # frames detect+describe vmapped and all B consecutive pairs
+    # match+RANSAC vmapped, so the latency-bound chains (RANSAC solve,
+    # IRLS refits — the single-frame step's dominant cost) amortise
+    # across the window. This row records what a frame actually costs in
+    # throughput mode; the fused_step row above is the latency mode.
+    from mvslam_tpu.slam.tracking import track_window
+
+    window_b = 16
+    frames_win = jnp.stack([jnp.asarray(_frame(seed=i + 1)) for i in range(window_b)])
+
+    def window_stage(stack):
+        _, track = track_window(
+            jax.random.key(9), prev, stack, K, fcfg, pc,
+            start_index=jnp.asarray(1, jnp.int32),
+        )
+        return track.scalars_packed
+
+    w_passes = max(passes // 8, 4)
+    ms_w = _time_loop(window_stage, lambda c: frames_win + c, w_passes)
+    _emit_stage(
+        "windowed_step_per_frame", ms_w / window_b, 0.0, 0.0,
+        note="track_window B=%d, per-frame ms (whole-window ms=%.2f), fps=%.0f"
+        % (window_b, ms_w, 1e3 / (ms_w / window_b)),
+    )
+
 
 if __name__ == "__main__":
     main()

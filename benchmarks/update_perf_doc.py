@@ -82,6 +82,12 @@ STAGES = {
         "—",
         "sum-of-stages sanity row; the BASELINE.md device-compute headline",
     ),
+    "windowed_step_per_frame": (
+        "**Windowed step, per frame** (slam/tracking.track_window B=16 — the run_sequence/bench.py throughput path)",
+        "—",
+        "—",
+        "vmapped detection + vmapped pair RANSAC amortise the latency-bound chains across the window",
+    ),
 }
 
 ORDER = list(STAGES)
