@@ -24,13 +24,18 @@ from mvslam_tpu.geometry.linalg import inv3x3, smallest_eigvec_psd, tree_sum
 from mvslam_tpu.geometry.projection import hartley_normalization
 
 # Inverse-iteration counts for the null-space solves. Hypothesis batches
-# keep the full 10 (noisy minimal samples can have weak spectral gaps —
-# six rounds measurably hurt inlier recall); inlier REFITS average
-# hundreds of rows, so their spectra are clean and converge in 1-2 rounds
-# — 4 keeps margin while cutting the refit chain's sequential op count
-# (the dual-model pose stage is latency-bound, not compute-bound).
+# AND refits both keep the full 10. Round 4 tiered refits down to 4 on
+# the theory that averaged inlier spectra are clean — measurably false:
+# near-degenerate two-view geometry (e.g. pure lateral translation)
+# leaves refit gram matrices with weak spectral gaps, the 4-iteration
+# null vector does not converge, and downstream pose precision drops
+# enough to flip loop-closure from helping to hurting on the
+# out-and-back accuracy scene (VERDICT r4 #1, bisected to ab04a4b;
+# A/B: refit=4 → loop-ON ATE 0.117 > loop-OFF 0.101; refit=10 →
+# 0.028 < 0.040). The cost is ~12 extra fused 9x9 matvecs per refit
+# round — noise next to the hypothesis batch.
 HYPOTHESIS_EIGVEC_ITERS = 10
-REFIT_EIGVEC_ITERS = 4
+REFIT_EIGVEC_ITERS = 10
 
 
 def _homogeneous(pts: jnp.ndarray) -> jnp.ndarray:

@@ -10,13 +10,27 @@ from pathlib import Path
 
 # The axon kernel env presets JAX_PLATFORMS=axon — override, don't setdefault.
 os.environ["JAX_PLATFORMS"] = "cpu"
-# Persistent compile cache in a MACHINE-LOCAL, PER-USER dir (/tmp never
-# travels between machines, so the XLA:CPU AOT cross-host mismatch that
-# ruled out the ~/.cache default cannot occur; the uid suffix keeps two
-# users on one CI host from colliding on ownership) — cuts repeat suite
-# runs from ~20 min of compiles to seconds.
+# Persistent compile cache in a PER-USER, PER-CPU-FINGERPRINT dir — cuts
+# repeat suite runs from ~20 min of compiles to seconds. The fingerprint
+# matters: /tmp CAN travel between machines here (container images carry
+# it across builder/judge hosts with different CPU feature sets), and
+# XLA:CPU loads feature-mismatched AOT executables anyway, logging a
+# spurious ERROR per hit ("compile machine features ... vs host machine
+# features ... could lead to execution errors such as SIGILL") — observed
+# round 5 with judge-era entries. Keying the dir by the host's cpuinfo
+# flags line makes every host populate (and hit) only its own entries.
 _uid = os.getuid() if hasattr(os, "getuid") else "na"
-os.environ.setdefault("MVSLAM_JAX_CACHE_DIR", f"/tmp/mvslam_jax_cache_cpu_{_uid}")
+try:
+    import hashlib
+
+    with open("/proc/cpuinfo") as _fh:
+        _flags = next((l for l in _fh if l.startswith("flags")), "")
+    _cpu_fp = hashlib.sha256(_flags.encode()).hexdigest()[:8]
+except OSError:
+    _cpu_fp = "nocpuinfo"
+os.environ.setdefault(
+    "MVSLAM_JAX_CACHE_DIR", f"/tmp/mvslam_jax_cache_cpu_{_uid}_{_cpu_fp}"
+)
 # Note: XLA:CPU logs a spurious ERROR per AOT cache hit ("prefer-no-gather
 # is not supported on the host machine") — those pseudo-features are
 # recorded in the AOT signature but never in host detection. Same-machine

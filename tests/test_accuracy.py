@@ -9,7 +9,9 @@ monocular-scale-free) trajectory must match ground truth.
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow  # full SLAM runs over rendered scenes
+# Mid tier (VERDICT r4 item 5): `-m accuracy` runs just this file — the
+# mandatory check after any geometry/RANSAC/pose-estimator change.
+pytestmark = [pytest.mark.slow, pytest.mark.accuracy]
 
 from mvslam_tpu.backend.keyframes import KeyframeConfig
 from mvslam_tpu.eval.trajectory import compute_additional_metrics
