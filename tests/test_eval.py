@@ -449,6 +449,86 @@ class TestPerfGate:
         assert summary["total_severity"] > 0.0
 
 
+class TestAccuracyGate:
+    """Accuracy gated like perf (VERDICT r4 #2): the committed
+    accuracy_gate.json + baselines/accuracy_scenes.json must trip on an
+    ab04a4b-shaped regression — loop closure that makes ATE worse instead
+    of better, plus per-scene ATE blow-ups."""
+
+    REPO = Path(__file__).resolve().parents[1]
+
+    def _committed(self):
+        cfg = load_governance_config(self.REPO / "configs/evaluation/accuracy_gate.json")
+        store = BaselineStore(self.REPO / "baselines/accuracy_scenes.json")
+        return cfg, store
+
+    def test_committed_config_covers_baselines(self):
+        cfg, store = self._committed()
+        assert cfg["baseline_store"] == "baselines/accuracy_scenes.json"
+        baseline = store.load_baseline("accuracy_scenes")
+        assert baseline is not None
+        for spec in cfg["specs"]:
+            for metric in spec.metric_thresholds:
+                assert metric in baseline, f"no baseline for {metric}"
+
+    def test_loop_ratio_limit_is_below_one(self):
+        """The loop ATE-ratio threshold must enforce the reference's loop
+        contract (accepted loops HELP, ratio < 1): baseline*(1+tol) < 1."""
+        cfg, store = self._committed()
+        spec = next(s for s in cfg["specs"] if s.name == "accuracy_scenes")
+        base = store.load_baseline("accuracy_scenes")["accuracy_oab_loop_ate_ratio"]
+        tol = spec.metric_thresholds["accuracy_oab_loop_ate_ratio"].tolerance
+        assert base * (1.0 + tol) < 1.0
+
+    def _stub_summary(self, degrade):
+        cfg, store = self._committed()
+        spec = next(s for s in cfg["specs"] if s.name == "accuracy_scenes")
+        baseline = store.load_baseline("accuracy_scenes")
+        metrics = {m: degrade(m, v) for m, v in baseline.items()}
+        emit_lines = "; ".join(
+            f"print(__import__('json').dumps({{'metric': '{m}', 'value': {v}}}))"
+            for m, v in metrics.items()
+        )
+        stub_cfg = {
+            "specs": [
+                BenchmarkSpec(
+                    name="accuracy_scenes",
+                    command=["python", "-c", emit_lines],
+                    metric_thresholds=spec.metric_thresholds,
+                )
+            ],
+            "baseline_store": str(self.REPO / "baselines/accuracy_scenes.json"),
+            "fail_fast": False,
+            "write_baseline": False,
+        }
+        return run_governance(stub_cfg)
+
+    def test_ab04a4b_shaped_regression_trips_gate(self):
+        """Replay round 4's shipped regression: per-scene ATE ~2.9x and the
+        loop ratio at its measured regressed value (1.16 — loops hurting)."""
+
+        def degrade(metric, value):
+            if metric == "accuracy_oab_loop_ate_ratio":
+                return 1.16
+            return value * 2.9
+
+        summary = self._stub_summary(degrade)
+        assert summary["status"] == "regressed"
+        comp = summary["benchmarks"][0]["baseline_comparison"]
+        regressed = {c["metric"] for c in comp["comparisons"] if c["status"] == "regressed"}
+        assert "accuracy_oab_loop_ate_ratio" in regressed
+        assert "accuracy_mean_ate_rmse" in regressed
+
+    def test_cross_env_drift_passes(self):
+        """Numeric drift between XLA:CPU compile environments (measured
+        ~1.5x worst-case on the out-and-back scene this round) must NOT
+        trip the gate — only regression-sized moves should."""
+        summary = self._stub_summary(
+            lambda m, v: v * (1.0 if m == "accuracy_oab_loop_ate_ratio" else 1.45)
+        )
+        assert summary["status"] == "pass"
+
+
 class TestReadiness:
     def test_rollup(self):
         report = generate_readiness_report(
