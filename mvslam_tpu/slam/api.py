@@ -82,6 +82,12 @@ class SLAMSystemConfig:
     # (``keyframe_manager.py:85-118``).
     enable_local_ba: bool = True
     persist_map_snapshot: bool = True
+    # RSS budget for live compiled executables: long sessions compile many
+    # distinct programs (BA window buckets, pose-graph buckets) and this
+    # jaxlib's XLA:CPU intermittently crashes near ~8.5 GB of resident
+    # executables (docs/KNOWN_ISSUES.md). The guard evicts jit caches when
+    # process RSS crosses the budget; <= 0 disables.
+    program_cache_budget_gb: float = 6.0
 
     def intrinsics(self) -> np.ndarray:
         return np.asarray(
@@ -150,6 +156,11 @@ class SLAMSystem:
         self.keyframes = KeyframeManager(self.config.keyframe, on_window=self._on_keyframe_window)
         self.trajectory = TrajectoryAccumulator()
         self.diagnostics: List[FrameDiagnostics] = []
+        from mvslam_tpu.runtime.program_budget import ProgramCacheGuard
+
+        self.program_guard = ProgramCacheGuard(
+            budget_gb=self.config.program_cache_budget_gb
+        )
 
         self.K = self.config.intrinsics()
         self._K_dev = jax.device_put(np.asarray(self.K, dtype=np.float32))
@@ -644,6 +655,16 @@ class SLAMSystem:
             if inflight is not None:
                 process(inflight)
             inflight = new_inflight
+            # Long sessions accumulate distinct compiled programs (BA window
+            # buckets, pose-graph buckets); cap the live-executable RSS so
+            # the known XLA:CPU many-program crash mode cannot be reached
+            # (docs/KNOWN_ISSUES.md). No-op while under budget.
+            if self.program_guard.tick():
+                logger.warning(
+                    "program cache evicted (RSS over %.1f GB budget)",
+                    self.config.program_cache_budget_gb,
+                    extra={"evictions": self.program_guard.evictions},
+                )
         return diags
 
     def run_stream(

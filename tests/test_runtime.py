@@ -567,3 +567,48 @@ class TestProcessPoolIngestion:
                 config=IngestionPipelineConfig(use_process_pool=True),
                 read_fn=lambda p: None,
             )
+
+
+class TestProgramCacheGuard:
+    """RSS-bounded jit-cache eviction (docs/KNOWN_ISSUES.md #1): the
+    production bound on the XLA:CPU many-program crash mode."""
+
+    def test_disabled_budget_never_evicts(self):
+        from mvslam_tpu.runtime.program_budget import ProgramCacheGuard
+
+        guard = ProgramCacheGuard(budget_gb=0.0, check_every=1)
+        assert not any(guard.tick() for _ in range(8))
+        assert guard.evictions == 0
+
+    def test_under_budget_is_noop(self):
+        from mvslam_tpu.runtime.program_budget import ProgramCacheGuard
+
+        guard = ProgramCacheGuard(budget_gb=10_000.0, check_every=1)
+        assert not any(guard.tick() for _ in range(8))
+
+    def test_over_budget_evicts_at_cadence(self):
+        import jax
+        import jax.numpy as jnp
+
+        from mvslam_tpu.runtime.program_budget import ProgramCacheGuard
+
+        # A guard whose budget is below any real process's RSS must evict
+        # exactly on the check_every-th tick, and compiled functions must
+        # still work (re-trace) afterwards.
+        f = jax.jit(lambda x: x * 2.0)
+        assert float(f(jnp.float32(3.0))) == 6.0
+        guard = ProgramCacheGuard(budget_gb=1e-6, check_every=4)
+        ticks = [guard.tick() for _ in range(8)]
+        assert ticks == [False, False, False, True, False, False, False, True]
+        assert guard.evictions == 2
+        assert float(f(jnp.float32(4.0))) == 8.0
+
+    def test_engine_owns_guard(self, tmp_path):
+        from mvslam_tpu.slam.api import SLAMSystem, SLAMSystemConfig
+
+        system = SLAMSystem(
+            SLAMSystemConfig(
+                run_id="guarded", output_root=tmp_path, program_cache_budget_gb=2.5
+            )
+        )
+        assert system.program_guard.budget_gb == 2.5
