@@ -88,31 +88,51 @@ def bench_tpu(frames, window: int = WINDOW, windows_per_dispatch: int = WINDOWS_
 
     # Warmup/compile (always a fresh compile on axon — the persistent
     # cache is disabled there because deserialized executables deadlock).
+    t0 = time.perf_counter()
     prev = bootstrap_frame(first, fc)
     feats_last, track = dispatch(prev, chunks[0], 1)
     pull_scalars(track)
+    warm_s = time.perf_counter() - t0
 
     # Timed loop. Depth-2 pipeline: superwindow i+1 is DISPATCHED (its
     # prev-features input is a device-side dependency, never pulled)
     # before superwindow i's scalars are fetched, so each pull's
     # device→host round trip rides out the next dispatch's compute.
+    # Per-superwindow launch/fetch walls are recorded so a cross-pass
+    # throughput decay is ATTRIBUTABLE (launch latency vs fetch latency vs
+    # compute — VERDICT r4 item 4).
     prev = bootstrap_frame(first, fc)
     start_t = time.perf_counter()
     tracked = 0
     pending_track = None
+    launch_s, fetch_s = [], []
     for si, chunk in enumerate(chunks):
+        t0 = time.perf_counter()
         feats_last, track = dispatch(prev, chunk, 1 + si * super_size)
+        launch_s.append(time.perf_counter() - t0)
         prev = feats_last
         if pending_track is not None:
+            t0 = time.perf_counter()
             bundle = pull_scalars(pending_track)
+            fetch_s.append(time.perf_counter() - t0)
             tracked += int((bundle["num_matches"] > 0).sum())
         pending_track = track
+    t0 = time.perf_counter()
     bundle = pull_scalars(pending_track)
+    fetch_s.append(time.perf_counter() - t0)
     tracked += int((bundle["num_matches"] > 0).sum())
     elapsed = (time.perf_counter() - start_t) + upload_s
     frames_done = num_super * super_size
     assert tracked == frames_done, f"tracking broke: {tracked}/{frames_done}"
-    return frames_done / elapsed
+    forensics = {
+        "started_at": round(start_t, 2),
+        "upload_s": round(upload_s, 3),
+        "warmup_compile_s": round(warm_s, 2),
+        "launch_s": [round(s, 3) for s in launch_s],
+        "fetch_s": [round(s, 3) for s in fetch_s],
+        "loop_s": round(elapsed - upload_s, 3),
+    }
+    return frames_done / elapsed, forensics
 
 
 def bench_cpu_reference(frames) -> float:
@@ -301,8 +321,10 @@ def main() -> None:
         if attempt and (remaining < 60.0 or _state["best_fps"] <= 0.0):
             break
         try:
-            fps = bench_tpu(frames)
-            _state["passes"].append({"pass": f"in_process_{attempt}", "fps": round(fps, 2)})
+            fps, forensics = bench_tpu(frames)
+            _state["passes"].append(
+                {"pass": f"in_process_{attempt}", "fps": round(fps, 2), **forensics}
+            )
             _state["best_fps"] = max(_state["best_fps"], fps)
         except Exception:
             import traceback
