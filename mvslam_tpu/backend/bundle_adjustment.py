@@ -111,6 +111,36 @@ def _project(pose_param: jnp.ndarray, point: jnp.ndarray, K: jnp.ndarray) -> jnp
 
 
 @partial(jax.jit, static_argnames=("config", "num_poses"))
+def _ba_core_packed(
+    pose_params0: jnp.ndarray,
+    points0: jnp.ndarray,
+    obs_pose: jnp.ndarray,
+    obs_point: jnp.ndarray,
+    obs_uv: jnp.ndarray,
+    obs_mask: jnp.ndarray,
+    K: jnp.ndarray,
+    config: "BundleAdjustmentConfig",
+    num_poses: int,
+) -> jnp.ndarray:
+    """:func:`_ba_core` with everything the host needs in ONE flat buffer.
+
+    ``run_bundle_adjustment`` used to pull four device scalars
+    (init/final cost, eig min/max) and two arrays (poses via an eager
+    ``_params_to_pose`` dispatch, points) — six-plus device→host round
+    trips per window-BA call, ~0.8 s per keyframe on a network-tunneled
+    chip and the dominant full-system cost (every frame is a keyframe on
+    the committed scenes). Layout: ``[init, final, eig_min, eig_max,
+    poses(W·16), points(P·3)]`` — one launch, one fetch.
+    """
+    pp, pts, init_cost, final_cost, _costs, eig_min, eig_max = _ba_core(
+        pose_params0, points0, obs_pose, obs_point, obs_uv, obs_mask, K, config, num_poses
+    )
+    poses = _params_to_pose(pp)
+    head = jnp.stack([init_cost, final_cost, eig_min, eig_max]).astype(jnp.float32)
+    return jnp.concatenate([head, poses.reshape(-1), pts.reshape(-1)])
+
+
+@partial(jax.jit, static_argnames=("config", "num_poses"))
 def _ba_core(
     pose_params0: jnp.ndarray,  # (W, 6)
     points0: jnp.ndarray,  # (P, 3)
@@ -321,21 +351,22 @@ def run_bundle_adjustment(
         put_obs = put_rep = jnp.asarray
 
     pose_params0 = put_rep(np.asarray(_pose_params(jnp.asarray(poses, jnp.float32))))
-    pp, pts, init_cost, final_cost, costs, eig_min, eig_max = _ba_core(
-        pose_params0,
-        put_rep(points_padded),
-        put_obs(obs_pose),
-        put_obs(obs_point),
-        put_obs(obs_uv),
-        put_obs(obs_mask),
-        put_rep(np.asarray(K, np.float32)),
-        config,
-        W,
-    )
-    init_cost = float(init_cost)
-    final_cost = float(final_cost)
-    eig_min = float(eig_min)
-    eig_max = float(eig_max)
+    packed = np.asarray(
+        _ba_core_packed(
+            pose_params0,
+            put_rep(points_padded),
+            put_obs(obs_pose),
+            put_obs(obs_point),
+            put_obs(obs_uv),
+            put_obs(obs_mask),
+            put_rep(np.asarray(K, np.float32)),
+            config,
+            W,
+        )
+    )  # ONE device→host fetch for scalars + poses + points
+    init_cost, final_cost, eig_min, eig_max = (float(x) for x in packed[:4])
+    refined_poses = packed[4 : 4 + W * 16].reshape(W, 4, 4).astype(np.float64)
+    refined_points = packed[4 + W * 16 :].reshape(pbudget, 3).astype(np.float64)[:P]
     # Condition number of the data term's Schur-reduced pose system at the
     # initial linearization (parity: bundle_adjustment.py:135-158 computes
     # SVD conditioning stats and falls back when ill-conditioned).
@@ -344,8 +375,6 @@ def run_bundle_adjustment(
     # Conditioning gate: reject the solve when the reduced system is
     # ill-conditioned, the solve failed to reduce cost, or produced
     # non-finite state.
-    refined_poses = np.asarray(_params_to_pose(pp), dtype=np.float64)
-    refined_points = np.asarray(pts, dtype=np.float64)[:P]
     tripped = False
     if cond > config.max_condition_number or eig_min < config.min_singular_value:
         tripped = True
@@ -401,6 +430,61 @@ def triangulate_points(
     return (X[:, :3] / scale[:, None]).astype(np.float64)
 
 
+_PAIR_GATE = None
+_PAIR_GATE_M = 192  # max matches per window pair
+
+
+def _gated_pair_packed(key, a_id, b_id, descA, validA, kpA, descB, validB, kpB, K, thresh):
+    """Match + select + essential-RANSAC gate for one keyframe pair,
+    packed into ONE device buffer (one launch + one fetch).
+
+    The unfused form ran three dispatches plus four separate device→host
+    pulls (valid, success, inliers, pairs) and two eager ``fold_in``
+    device ops per NEW pair — ~0.6 s per keyframe over a tunneled chip,
+    the window-BA stage's dominant cost. Math is unchanged: the same
+    nested jitted calls inline into one program (no vmap — per-pair
+    shapes and therefore numerics are exactly the unfused path's).
+    Buffer layout: ``[pairs_a (M), pairs_b (M), mask (M)]`` where mask is
+    ``sel.valid`` AND (RANSAC inliers when the fit succeeded).
+    """
+    global _PAIR_GATE
+    import jax
+
+    if _PAIR_GATE is None:
+        from mvslam_tpu.geometry.projection import normalize_pixels
+        from mvslam_tpu.ops.hamming import (
+            MatchConfig,
+            gather_matched_points,
+            match_descriptors,
+            select_matches,
+        )
+        from mvslam_tpu.ops.ransac import RansacConfig, ransac_essential
+
+        def impl(key, a_id, b_id, descA, validA, kpA, descB, validB, kpB, K, thresh):
+            res = match_descriptors(descA, validA, descB, validB, MatchConfig(cross_check=True))
+            sel = select_matches(res, max_matches=_PAIR_GATE_M)
+            p1, p2 = gather_matched_points(kpA, kpB, sel)
+            r = ransac_essential(
+                jax.random.fold_in(jax.random.fold_in(key, a_id), b_id),
+                normalize_pixels(p1, K),
+                normalize_pixels(p2, K),
+                sel.valid,
+                RansacConfig(num_hypotheses=128, min_inliers=8),
+                threshold=thresh,
+            )
+            mask = sel.valid & jnp.where(r.success, r.inliers, True)
+            return jnp.concatenate(
+                [
+                    sel.pairs[:, 0].astype(jnp.float32),
+                    sel.pairs[:, 1].astype(jnp.float32),
+                    mask.astype(jnp.float32),
+                ]
+            )
+
+        _PAIR_GATE = jax.jit(impl)
+    return _PAIR_GATE(key, a_id, b_id, descA, validA, kpA, descB, validB, kpB, K, thresh)
+
+
 class WindowBundleAdjuster:
     """Builds observations from a keyframe window and refines poses in place.
 
@@ -430,16 +514,6 @@ class WindowBundleAdjuster:
 
     def refine_window(self, window, key=None) -> Optional[BAResult]:
         import jax
-        import jax.numpy as jnp
-
-        from mvslam_tpu.geometry.projection import normalize_pixels
-        from mvslam_tpu.ops.hamming import (
-            MatchConfig,
-            gather_matched_points,
-            match_descriptors,
-            select_matches,
-        )
-        from mvslam_tpu.ops.ransac import RansacConfig, ransac_essential
 
         if len(window) < 2:
             return None
@@ -467,32 +541,26 @@ class WindowBundleAdjuster:
             cache_key = (a.frame_id, b.frame_id)
             pairs = self._pair_cache.get(cache_key)
             if pairs is None:
-                res = match_descriptors(
-                    jnp.asarray(a.descriptors),
-                    jnp.asarray(a.valid),
-                    jnp.asarray(b.descriptors),
-                    jnp.asarray(b.valid),
-                    MatchConfig(cross_check=True),
+                buf = np.asarray(  # ONE launch + ONE fetch (see _gated_pair_packed)
+                    _gated_pair_packed(
+                        key,
+                        jnp.asarray(a.frame_id, jnp.int32),
+                        jnp.asarray(b.frame_id, jnp.int32),
+                        jnp.asarray(a.descriptors),
+                        jnp.asarray(a.valid),
+                        jnp.asarray(a.keypoints, jnp.float32),
+                        jnp.asarray(b.descriptors),
+                        jnp.asarray(b.valid),
+                        jnp.asarray(b.keypoints, jnp.float32),
+                        jnp.asarray(self.K, jnp.float32),
+                        2.0 / float(self.K[0, 0]),
+                    )
                 )
-                sel = select_matches(res, max_matches=192)
-                p1, p2 = gather_matched_points(
-                    jnp.asarray(a.keypoints, jnp.float32),
-                    jnp.asarray(b.keypoints, jnp.float32),
-                    sel,
-                )
-                Kf = jnp.asarray(self.K, jnp.float32)
-                ransac = ransac_essential(
-                    jax.random.fold_in(jax.random.fold_in(key, a.frame_id), b.frame_id),
-                    normalize_pixels(p1, Kf),
-                    normalize_pixels(p2, Kf),
-                    sel.valid,
-                    RansacConfig(num_hypotheses=128, min_inliers=8),
-                    threshold=2.0 / float(self.K[0, 0]),
-                )
-                valid = np.asarray(sel.valid)
-                if bool(ransac.success):
-                    valid = valid & np.asarray(ransac.inliers)
-                pairs = np.asarray(sel.pairs)[valid]
+                M = _PAIR_GATE_M
+                mask = buf[2 * M :] > 0.5
+                pairs = np.stack(
+                    [buf[:M].astype(np.int64), buf[M : 2 * M].astype(np.int64)], axis=1
+                )[mask]
                 self._pair_cache[cache_key] = pairs
                 # Keep only pairs that can recur in a sliding window.
                 if len(self._pair_cache) > 4 * max(len(window), 2):

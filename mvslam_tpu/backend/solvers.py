@@ -208,6 +208,45 @@ def _cg_solve(matvec, b, precond, iterations, tol):
 
 
 @partial(jax.jit, static_argnames=("model_name", "config"))
+def gauss_newton_core_packed(
+    x0: jnp.ndarray,
+    edges: jnp.ndarray,
+    measurements: jnp.ndarray,
+    weights: jnp.ndarray,
+    anchor_mask: jnp.ndarray,
+    model_name: str,
+    config: SolverConfig,
+) -> jnp.ndarray:
+    """:func:`gauss_newton_core` with every host-bound output in ONE flat
+    f32 buffer — one launch + one fetch per solve.
+
+    The host wrapper used to pull eight separate device values (x, final
+    cost, per-iteration cost/grad/step/active, histogram edges/counts);
+    on a network-tunneled chip at ~135 ms per fetch that made each
+    loop-closure pose-graph solve ~1.5 s of pure transfer latency
+    (10 accepted loops on the committed revisit scene ⇒ the full-system
+    bottleneck after the BA/loop fusions). Layout:
+    ``[final_cost, x(n·d), cost(I), grad(I), step(I), active(I),
+    bin_edges(B+1), counts(B)]`` with I = max_iterations, B =
+    histogram_bins — all static, so the host slices by arithmetic.
+    """
+    x_final, final_cost, outs, bin_edges, counts = gauss_newton_core(
+        x0, edges, measurements, weights, anchor_mask, model_name, config
+    )
+    parts = [
+        final_cost.reshape(1),
+        x_final.reshape(-1),
+        outs.cost,
+        outs.grad_norm,
+        outs.step_norm,
+        outs.active.astype(jnp.float32),
+        bin_edges,
+        counts.astype(jnp.float32),
+    ]
+    return jnp.concatenate([p.astype(jnp.float32) for p in parts])
+
+
+@partial(jax.jit, static_argnames=("model_name", "config"))
 def gauss_newton_core(
     x0: jnp.ndarray,
     edges: jnp.ndarray,
@@ -379,20 +418,30 @@ def solve_problem(problem: GraphProblem, config: SolverConfig) -> SolverResult:
         return SolverResult(x, 0.0, 0.0, 0, True, 0)
     n_real = problem.num_variables
     padded, e_pad = _pad_problem(problem)
-    x_final, final_cost, outs, bin_edges, counts = gauss_newton_core(
-        padded.x0,
-        padded.edges,
-        padded.measurements,
-        padded.weights,
-        padded.anchor_mask,
-        padded.model_name,
-        config,
+    buf = np.asarray(  # ONE fetch for the whole solve (gauss_newton_core_packed)
+        gauss_newton_core_packed(
+            padded.x0,
+            padded.edges,
+            padded.measurements,
+            padded.weights,
+            padded.anchor_mask,
+            padded.model_name,
+            config,
+        )
     )
-    x_final = x_final[:n_real]
-    cost = np.asarray(outs.cost)
-    grad = np.asarray(outs.grad_norm)
-    step = np.asarray(outs.step_norm)
-    active = np.asarray(outs.active)
+    d = MODELS[padded.model_name].dim
+    n_pad = padded.x0.shape[0]
+    I, B = config.max_iterations, config.histogram_bins
+    final_cost = buf[0]
+    off = 1
+    x_final = buf[off : off + n_pad * d].reshape(n_pad, d)[:n_real]
+    off += n_pad * d
+    cost = buf[off : off + I]; off += I
+    grad = buf[off : off + I]; off += I
+    step = buf[off : off + I]; off += I
+    active = buf[off : off + I] > 0.5; off += I
+    bin_edges = buf[off : off + B + 1]; off += B + 1
+    counts = buf[off : off + B]
     iters = int(active.sum())
     diagnostics = [
         IterationDiagnostics(i, float(cost[i]), float(grad[i]), float(step[i]))

@@ -186,6 +186,11 @@ class BoWDatabase:
             np.ones(len(descriptors), bool) if valid is None else np.asarray(valid, bool)
         )
         hist = compute_bow_histogram(np.asarray(descriptors, np.uint32), valid, self.vocabulary)
+        return self._rank_from_hist(hist)
+
+    def _rank_from_hist(self, hist: np.ndarray) -> List[Tuple[int, float]]:
+        if not self.histograms:
+            return []
         if self._device_index is not None:
             # Device matvec (MXU); one (F,) fetch. Host path below computes
             # the same scores on the host memory bus.
@@ -195,21 +200,51 @@ class BoWDatabase:
         order = sorted(range(len(scores)), key=lambda i: (-float(scores[i]), self.frame_ids[i]))
         return [(self.frame_ids[i], float(scores[i])) for i in order]
 
+    def process_keyframe(
+        self, frame_id: int, descriptors: np.ndarray, valid: Optional[np.ndarray] = None
+    ) -> Optional[Tuple[int, float]]:
+        """Query-then-add with ONE histogram computation.
+
+        ``detect_loop`` followed by ``add_frame`` computes the same
+        histogram twice — two device dispatch+fetch round trips per
+        keyframe, which on a network-tunneled chip is the BoW stage's
+        entire cost. This is the per-keyframe entry point the offline
+        pipeline uses: histogram once, query (frame not yet in the
+        database, so it cannot match itself), then record.
+        """
+        descriptors = np.asarray(descriptors, dtype=np.uint32)
+        valid = (
+            np.ones(len(descriptors), bool) if valid is None else np.asarray(valid, bool)
+        )
+        if self.vocabulary is None:
+            self._pending.append((int(frame_id), descriptors, valid))
+            self._maybe_train()
+            return None
+        hist = compute_bow_histogram(descriptors, valid, self.vocabulary)
+        hit = self._detect_from_hist(frame_id, hist)
+        self._record(frame_id, hist)
+        return hit
+
     def detect_loop(self, frame_id: int, descriptors: np.ndarray, valid: Optional[np.ndarray] = None) -> Optional[Tuple[int, float]]:
         """Best candidate above threshold outside the temporal window.
 
         Parity: ``loop_closure.py:76-85``.
         """
+        if self.vocabulary is None:
+            return None
+        valid_arr = (
+            np.ones(len(descriptors), bool) if valid is None else np.asarray(valid, bool)
+        )
+        hist = compute_bow_histogram(
+            np.asarray(descriptors, np.uint32), valid_arr, self.vocabulary
+        )
+        return self._detect_from_hist(frame_id, hist)
+
+    def _detect_from_hist(self, frame_id: int, hist: np.ndarray) -> Optional[Tuple[int, float]]:
         if self._device_index is not None and len(self.frame_ids) > 0:
             # Fast path: in-program top-k — only 2k scalars leave the
             # device. Falls back to the full ranking when every fetched
             # candidate is temporally excluded but more frames exist.
-            valid_arr = (
-                np.ones(len(descriptors), bool) if valid is None else np.asarray(valid, bool)
-            )
-            hist = compute_bow_histogram(
-                np.asarray(descriptors, np.uint32), valid_arr, self.vocabulary
-            )
             k = min(16, len(self.frame_ids))
             top = self._device_index.topk(hist, k=k)
             for cand_id, score in top:
@@ -221,7 +256,7 @@ class BoWDatabase:
             if k >= len(self.frame_ids):
                 return None  # exhausted the whole database
             # else: all top-k temporally excluded — fall through to full rank
-        for cand_id, score in self.rank(descriptors, valid):
+        for cand_id, score in self._rank_from_hist(hist):
             if abs(frame_id - cand_id) < self.config.min_frame_gap:
                 continue
             if score >= self.config.similarity_threshold:

@@ -156,32 +156,6 @@ def _load_frames(config: SLAMRunConfig):
     raise ValueError(f"unknown input kind {config.input_kind!r}")
 
 
-_DECOMP_TRIANGULATE = None
-
-
-def _decompose_triangulate(model, n1, n2, weights):
-    """Jitted decompose_essential + triangulate_normalized.
-
-    The eager forms dispatch ~100 tiny ops each (unrolled inverse
-    iterations) — instant on CPU, minutes over a tunneled TPU when run
-    per loop candidate. One jit (shapes are max_matches-padded, so it
-    compiles once per process) makes each call a single dispatch.
-    """
-    global _DECOMP_TRIANGULATE
-    if _DECOMP_TRIANGULATE is None:
-        import jax
-
-        from mvslam_tpu.geometry.epipolar import decompose_essential, triangulate_normalized
-
-        def impl(model, n1, n2, weights):
-            R, t, _ = decompose_essential(model, n1, n2, weights=weights)
-            X = triangulate_normalized(R, t, n1, n2)
-            return R, t, X
-
-        _DECOMP_TRIANGULATE = jax.jit(impl)
-    return _DECOMP_TRIANGULATE(model, n1, n2, weights)
-
-
 def _match_pair_essential(system, kf_a, kf_b, min_inliers: int, salt: int):
     """Match two keyframes and fit an essential model.
 
@@ -225,52 +199,41 @@ def _match_pair_essential(system, kf_a, kf_b, min_inliers: int, salt: int):
     return sel, ransac, n1, n2
 
 
-def _loop_scale_from_structure(system, kf_a, kf_a_next, loop_sel, loop_depths, loop_inliers=None):
-    """Sim3-style loop-edge scale via structure transfer.
+def _scale_from_rows(loop, chain, kf_a, kf_a_next):
+    """Sim3-style loop-edge scale via structure transfer (host math).
 
-    Triangulates kf_a's features twice — against its odometry-chain
-    neighbour (baseline known in chain units) and against the loop
-    candidate (unit baseline) — and recovers the loop baseline in chain
-    units from the median depth ratio over features shared by both
-    matchings. Parity: ``visual_slam_offline_entry_point.py:417-430``
-    (Sim3 loop-scale estimate), done from triangulated depths instead of
-    the reference's landmark heuristics.
+    kf_a's features are triangulated twice by the fused
+    :func:`_loop_geometry` program — against the odometry-chain neighbour
+    (baseline known in chain units) and against the loop candidate (unit
+    baseline); the loop baseline in chain units is the median depth ratio
+    over features shared by both matchings. Parity:
+    ``visual_slam_offline_entry_point.py:417-430`` (Sim3 loop-scale
+    estimate), from triangulated depths instead of the reference's
+    landmark heuristics.
 
-    Returns None when there is no usable overlap (caller falls back).
+    ``loop``/``chain`` are :func:`_unpack_loop_row` dicts. Returns None
+    when there is no usable overlap (caller falls back).
     """
-    import jax.numpy as jnp
-
-    pair = _match_pair_essential(
-        system, kf_a, kf_a_next, min_inliers=15, salt=int(kf_a.frame_id) * 2 + 1
-    )
-    if pair is None:
+    # The chain pair's own RANSAC gates (the unfused path required ≥ 15
+    # raw matches and ≥ 15 inliers with ≥ 8 valid pairs).
+    if chain["num_valid"] < 15 or chain["num_inliers"] < 15 or chain["num_valid"] < 8:
         return None
-    sel_n, ransac_n, n1_n, n2_n = pair
     chain_base = float(np.linalg.norm(kf_a_next.pose[:3, 3] - kf_a.pose[:3, 3]))
     if chain_base < 1e-9:
         return None
-    _, _, X_n = _decompose_triangulate(
-        ransac_n.model, n1_n, n2_n, ransac_n.inliers.astype(jnp.float32)
-    )
-    X_n = np.asarray(X_n)
-    z_chain = X_n[:, 2] * chain_base  # depths of kf_a features, chain units
-    idx_chain = np.asarray(sel_n.pairs[:, 0])
-    ok_chain = np.asarray(sel_n.valid) & np.asarray(ransac_n.inliers) & (X_n[:, 2] > 1e-6)
-
-    idx_loop = np.asarray(loop_sel.pairs[:, 0])
-    ok_loop = np.asarray(loop_sel.valid) & (loop_depths > 1e-6)
-    if loop_inliers is not None:
-        # Outlier correspondences still triangulate to arbitrary finite
-        # positive depths under the loop (R, t); without the RANSAC
-        # inlier gate their bogus ratios enter the scale median.
-        ok_loop &= np.asarray(loop_inliers, bool)
+    z_chain = chain["depths"] * chain_base  # depths of kf_a features, chain units
+    ok_chain = chain["ok"] & (chain["depths"] > 1e-6)
+    # Outlier correspondences still triangulate to arbitrary finite
+    # positive depths under the loop (R, t); the row mask already carries
+    # the RANSAC inlier gate, keeping bogus ratios out of the median.
+    ok_loop = loop["ok"] & (loop["depths"] > 1e-6)
 
     depth_by_feature = {
-        int(f): z_chain[i] for i, f in enumerate(idx_chain) if ok_chain[i]
+        int(f): z_chain[i] for i, f in enumerate(chain["idx_a"]) if ok_chain[i]
     }
     ratios = [
-        depth_by_feature[int(f)] / loop_depths[i]
-        for i, f in enumerate(idx_loop)
+        depth_by_feature[int(f)] / loop["depths"][i]
+        for i, f in enumerate(loop["idx_a"])
         if ok_loop[i] and int(f) in depth_by_feature
     ]
     if len(ratios) < 8:
@@ -278,40 +241,166 @@ def _loop_scale_from_structure(system, kf_a, kf_a_next, loop_sel, loop_depths, l
     return float(np.median(ratios))
 
 
+_LOOP_GEOM = None
+_LOOP_GEOM_M = 256  # max matches per loop pair (matches _match_pair_essential)
+
+
+def _loop_geometry(system, kf_a, kf_bs, salts):
+    """Fused loop geometry: ONE device program + ONE packed fetch.
+
+    The unfused path (``_match_pair_essential`` + ``_decompose_triangulate``
+    per pair, scale via a second pair) costs ~8 dispatches and ~14 separate
+    device→host scalar/array pulls per accepted loop candidate — at the
+    measurement rig's ~40 ms/launch + ~135 ms/fetch that is ~2 s per loop
+    and the bulk of the full-system wall (r4/r5: 0.77–0.81 fps with 10
+    loops on 29 frames). This runs match → select → normalise → essential
+    RANSAC → decompose → triangulate for kf_a against a fixed-size STACK
+    of counterpart keyframes (vmapped; the loop pair and the odometry
+    chain-neighbour pair ride one program) and packs everything the host
+    logic needs into one (P, 16+3M) f32 array: one launch, one fetch.
+
+    Row layout: [num_valid, num_inliers, inlier_ratio, 0, R.flat (9),
+    t (3), depths (M), pair_a_idx (M), valid&inlier mask (M)].
+    RANSAC keys fold the per-pair ``salts`` into the loop_closure
+    component key exactly like the unfused path, so hypothesis draws are
+    unchanged. ``min_inliers`` gates move to the host (they only affect
+    the success flag, never the model).
+    """
+    global _LOOP_GEOM
+    import jax
+    import jax.numpy as jnp
+
+    if _LOOP_GEOM is None:
+        from mvslam_tpu.geometry.epipolar import (
+            decompose_essential,
+            triangulate_normalized,
+        )
+        from mvslam_tpu.geometry.projection import normalize_pixels
+        from mvslam_tpu.ops.hamming import (
+            MatchConfig,
+            gather_matched_points,
+            match_descriptors,
+            select_matches,
+        )
+        from mvslam_tpu.ops.ransac import RansacConfig, ransac_essential
+
+        def one_pair(base_key, salt, kpA, descA, validA, kpB, descB, validB, K, thresh):
+            res = match_descriptors(descA, validA, descB, validB, MatchConfig(cross_check=True))
+            sel = select_matches(res, max_matches=_LOOP_GEOM_M)
+            p1, p2 = gather_matched_points(kpA, kpB, sel)
+            n1 = normalize_pixels(p1, K)
+            n2 = normalize_pixels(p2, K)
+            r = ransac_essential(
+                jax.random.fold_in(base_key, salt), n1, n2, sel.valid,
+                RansacConfig(num_hypotheses=256, min_inliers=0),
+                threshold=thresh,
+            )
+            w = r.inliers.astype(jnp.float32)
+            R, t, _ = decompose_essential(r.model, n1, n2, weights=w)
+            X = triangulate_normalized(R, t, n1, n2)
+            head = jnp.concatenate(
+                [
+                    jnp.stack(
+                        [
+                            sel.num_valid.astype(jnp.float32),
+                            r.num_inliers.astype(jnp.float32),
+                            r.inlier_ratio,
+                            jnp.zeros((), jnp.float32),
+                        ]
+                    ),
+                    R.reshape(9),
+                    t,
+                ]
+            )
+            mask = (sel.valid & r.inliers).astype(jnp.float32)
+            return jnp.concatenate(
+                [head, X[:, 2], sel.pairs[:, 0].astype(jnp.float32), mask]
+            )
+
+        def impl(base_key, salts, kpA, descA, validA, kpBs, descBs, validBs, K, thresh):
+            # Unrolled over the (static, tiny) pair axis rather than vmapped:
+            # each pair's sub-program keeps exactly the shapes of the unfused
+            # per-pair path, so per-pair numerics are unchanged by the fusion
+            # (a vmapped variant measurably shifted the loop-edge poses under
+            # the CI compile environment and re-flipped the out-and-back
+            # accuracy scene). Still ONE launch + ONE fetch.
+            rows = [
+                one_pair(
+                    base_key, salts[i], kpA, descA, validA,
+                    kpBs[i], descBs[i], validBs[i], K, thresh,
+                )
+                for i in range(kpBs.shape[0])
+            ]
+            return jnp.stack(rows)
+
+        _LOOP_GEOM = jax.jit(impl)
+
+    K = jnp.asarray(system.K, jnp.float32)
+    rows = _LOOP_GEOM(
+        system.registry.key_for("loop_closure"),
+        jnp.asarray(salts, jnp.int32),
+        jnp.asarray(kf_a.keypoints, jnp.float32),
+        jnp.asarray(kf_a.descriptors),
+        jnp.asarray(kf_a.valid),
+        jnp.stack([jnp.asarray(b.keypoints, jnp.float32) for b in kf_bs]),
+        jnp.stack([jnp.asarray(b.descriptors) for b in kf_bs]),
+        jnp.stack([jnp.asarray(b.valid) for b in kf_bs]),
+        K,
+        2.0 / float(system.K[0, 0]),
+    )
+    return np.asarray(rows)  # the single fetch
+
+
+def _unpack_loop_row(row):
+    M = _LOOP_GEOM_M
+    return {
+        "num_valid": int(row[0]),
+        "num_inliers": int(row[1]),
+        "ratio": float(row[2]),
+        "R": np.asarray(row[4:13], np.float64).reshape(3, 3),
+        "t": np.asarray(row[13:16], np.float64),
+        "depths": row[16 : 16 + M],
+        "idx_a": row[16 + M : 16 + 2 * M].astype(np.int64),
+        "ok": row[16 + 2 * M :] > 0.5,  # sel.valid & ransac inliers
+    }
+
+
 def _verify_loop(system, kf_a, kf_b, config: SLAMRunConfig, kf_a_next=None):
     """Geometric loop verification: match + essential RANSAC between two
     keyframes; returns (T_a_b relative SE3, inliers, ratio) or None.
 
-    Parity: ``visual_slam_offline_entry_point.py:557-648``.
+    Parity: ``visual_slam_offline_entry_point.py:557-648``. The loop pair
+    and the chain-neighbour pair (for the structure-transfer scale,
+    ref L417-430) are computed by ONE fused device program
+    (:func:`_loop_geometry`); this function is the host gating/assembly.
     """
-    import jax.numpy as jnp
+    salts = [int(kf_b.frame_id), int(kf_a.frame_id) * 2 + 1]
+    pair_bs = [kf_b, kf_a_next if kf_a_next is not None else kf_b]
+    rows = _loop_geometry(system, kf_a, pair_bs, salts)
+    loop = _unpack_loop_row(rows[0])
 
-    pair = _match_pair_essential(
-        system, kf_a, kf_b, min_inliers=config.loop_min_inliers, salt=int(kf_b.frame_id)
-    )
-    if pair is None:
+    # Gates, in the unfused path's order: enough raw matches, RANSAC
+    # success (count ≥ min_inliers and ≥ 8 valid pairs), inlier ratio.
+    if loop["num_valid"] < config.loop_min_inliers:
         return None
-    sel, ransac, n1, n2 = pair
-    inliers = int(ransac.num_inliers)
-    ratio = float(ransac.inlier_ratio)
+    if loop["num_inliers"] < config.loop_min_inliers or loop["num_valid"] < 8:
+        return None
+    inliers = loop["num_inliers"]
+    ratio = loop["ratio"]
     if ratio < config.loop_min_inlier_ratio:
         return None
-    R, t, X_loop = _decompose_triangulate(
-        ransac.model, n1, n2, ransac.inliers.astype(jnp.float32)
-    )
-    X_loop = np.asarray(X_loop)
-    R = np.asarray(R, np.float64)
-    t = np.asarray(t, np.float64)
+    R = loop["R"]
+    t = loop["t"]
+    X_loop = loop["depths"]
     # Loop-edge scale: structure transfer through kf_a's chain neighbour
     # when possible (a true revisit yields a near-zero baseline, which the
     # chain-distance heuristic below cannot see), else the odometry
     # chain's distance. Parity: ref L417-430 (Sim3 scale estimate).
+    # The chain pair's geometry already rode the fused program (rows[1]).
     chain_dist = float(np.linalg.norm(kf_b.pose[:3, 3] - kf_a.pose[:3, 3]))
     scale = None
     if kf_a_next is not None:
-        scale = _loop_scale_from_structure(
-            system, kf_a, kf_a_next, sel, X_loop[:, 2], np.asarray(ransac.inliers)
-        )
+        scale = _scale_from_rows(loop, _unpack_loop_row(rows[1]), kf_a, kf_a_next)
     if scale is None:
         scale = max(chain_dist, 1e-6) if chain_dist < 1.0 else 1.0
     else:
@@ -391,8 +480,9 @@ def run_visual_slam(config: SLAMRunConfig) -> Dict[str, Any]:
         if len(system.keyframes) > seen_keyframes:
             seen_keyframes = len(system.keyframes)
             kf = system.keyframes.keyframes[-1]
-            hit = bow.detect_loop(kf.frame_id, kf.descriptors, kf.valid) if bow.is_trained else None
-            bow.add_frame(kf.frame_id, kf.descriptors, kf.valid)
+            # ONE histogram round trip per keyframe (query-then-add fused);
+            # detect_loop + add_frame would compute it twice.
+            hit = bow.process_keyframe(kf.frame_id, kf.descriptors, kf.valid)
             if hit is None:
                 return
             cand_frame_id, score = hit

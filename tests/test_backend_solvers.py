@@ -229,13 +229,15 @@ class TestBucketPadding:
         assert padded.final_cost == pytest.approx(float(cost_raw), rel=1e-6, abs=1e-8)
 
     def test_sizes_within_band_share_one_program(self):
-        from mvslam_tpu.backend.solvers import _bucket, gauss_newton_core
+        # solve_problem dispatches the PACKED wrapper (one-fetch output
+        # packing), so that is the program whose cache must not grow.
+        from mvslam_tpu.backend.solvers import _bucket, gauss_newton_core_packed
 
         config = SolverConfig(max_iterations=4, damping=1e-4)
         base = self._problem(n_loops=1)
-        cache_before = gauss_newton_core._cache_size()
+        cache_before = gauss_newton_core_packed._cache_size()
         solve_problem(base, config)
-        first = gauss_newton_core._cache_size()
+        first = gauss_newton_core_packed._cache_size()
         # Grow the graph loop-by-loop (the offline pipeline's access
         # pattern); every size inside the same (variables, edges) bucket
         # band must hit the already-compiled program.
@@ -243,7 +245,7 @@ class TestBucketPadding:
         assert _bucket(grown.num_variables) == _bucket(base.num_variables)
         assert _bucket(grown.num_factors) == _bucket(base.num_factors)
         solve_problem(grown, config)
-        assert gauss_newton_core._cache_size() == first > cache_before
+        assert gauss_newton_core_packed._cache_size() == first > cache_before
 
     def test_histogram_counts_real_factors_only(self):
         problem = self._problem()

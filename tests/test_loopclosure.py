@@ -81,6 +81,44 @@ class TestBoWDatabase:
         assert cand == 1
         assert score > 0.8
 
+
+    def test_process_keyframe_matches_detect_then_add(self):
+        """Fused query-then-add must agree with detect_loop + add_frame and
+        compute exactly ONE histogram (one device round trip per keyframe —
+        the tunneled-chip cost model that motivated the fusion)."""
+        import mvslam_tpu.loopclosure.bow as bow_mod
+
+        def build():
+            cfg = BoWConfig(vocab_size=16, min_frame_gap=5, similarity_threshold=0.8,
+                            min_train_descriptors_factor=10)
+            db = BoWDatabase(cfg, key=jax.random.key(0))
+            for fid in range(4):
+                db.add_frame(fid, random_descriptors(80, seed=100 + fid, cluster=fid))
+            assert db.is_trained
+            return db
+
+        revisit = random_descriptors(80, seed=999, cluster=1)
+        a = build()
+        hit_legacy = a.detect_loop(10, revisit)
+        a.add_frame(10, revisit)
+        b = build()
+        calls = {"n": 0}
+        real = bow_mod.compute_bow_histogram
+
+        def counting(*args, **kwargs):
+            calls["n"] += 1
+            return real(*args, **kwargs)
+
+        bow_mod.compute_bow_histogram = counting
+        try:
+            hit_fused = b.process_keyframe(10, revisit)
+        finally:
+            bow_mod.compute_bow_histogram = real
+        assert calls["n"] == 1
+        assert hit_fused == hit_legacy
+        np.testing.assert_array_equal(a.histograms[-1], b.histograms[-1])
+        assert a.frame_ids == b.frame_ids
+
     def test_no_loop_within_gap(self):
         cfg = BoWConfig(vocab_size=16, min_frame_gap=50, min_train_descriptors_factor=5)
         db = BoWDatabase(cfg, key=jax.random.key(0))
