@@ -17,6 +17,7 @@ block texture so both pipelines do representative work.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -57,6 +58,19 @@ def bench_tpu(frames, window: int = WINDOW, windows_per_dispatch: int = WINDOWS_
     from mvslam_tpu.frontend.feature_pipeline import FeaturePipelineConfig
     from mvslam_tpu.frontend.pose_estimator import RobustPoseEstimatorConfig
     from mvslam_tpu.slam.tracking import bootstrap_frame, pull_scalars, track_superwindow
+
+    # Silent-CPU-fallback guard: the process may carry a CPU backend
+    # alongside the accelerator (jax_platforms "axon,cpu" — the axon boot
+    # shim and mvslam_tpu both arrange this for the small-solve placement
+    # policy). If axon was requested but FAILED to initialise, jax falls
+    # back to the CPU with only a warning — and a CPU tracked-fps number
+    # must never be reported as the chip benchmark.
+    platform = jax.devices()[0].platform
+    if platform == "cpu" and "axon" in os.environ.get("JAX_PLATFORMS", ""):
+        raise RuntimeError(
+            "default backend is cpu but JAX_PLATFORMS requested axon — "
+            "accelerator failed to initialise; refusing to bench the CPU"
+        )
 
     fc = FeaturePipelineConfig(num_features=2048, max_matches=512)
     pc = RobustPoseEstimatorConfig(num_hypotheses=512)
@@ -125,6 +139,7 @@ def bench_tpu(frames, window: int = WINDOW, windows_per_dispatch: int = WINDOWS_
     frames_done = num_super * super_size
     assert tracked == frames_done, f"tracking broke: {tracked}/{frames_done}"
     forensics = {
+        "platform": platform,
         "started_at": round(start_t, 2),
         "upload_s": round(upload_s, 3),
         "warmup_compile_s": round(warm_s, 2),

@@ -33,6 +33,23 @@ __version__ = "0.1.0"
 # precision explicitly at their call sites.
 import os as _os
 
+# Host CPU backend alongside the accelerator: the axon kernel env pins
+# JAX_PLATFORMS=axon, which would leave the process without a CPU backend
+# for the small-solve placement policy (core/hostdispatch.py — tiny
+# backend solves cost ~100x their compute in tunnel round trips when
+# dispatched to a remote chip). Appending "cpu" only ADDS a backend; the
+# first-listed platform stays the default, so accelerator placement and
+# every existing code path are unchanged. jax reads JAX_PLATFORMS at
+# backend initialisation, which cannot have happened before the first
+# mvslam_tpu import in a normal entry point. Opt out: MVSLAM_CPU_BACKEND=0.
+if _os.environ.get("MVSLAM_CPU_BACKEND", "1") != "0":
+    from mvslam_tpu.core.hostdispatch import with_cpu_platform as _wcp
+
+    _plats = _os.environ.get("JAX_PLATFORMS", "")
+    if _plats:
+        _os.environ["JAX_PLATFORMS"] = _wcp(_plats)
+    del _wcp, _plats
+
 import jax as _jax
 
 _jax.config.update("jax_default_matmul_precision", "highest")

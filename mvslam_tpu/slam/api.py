@@ -29,6 +29,7 @@ import numpy as np
 
 from mvslam_tpu.backend.keyframes import Keyframe, KeyframeConfig, KeyframeManager
 from mvslam_tpu.core.determinism import DeterminismRegistry
+from mvslam_tpu.core.hostdispatch import small_solve_scope
 from mvslam_tpu.core.experiments import create_run_artifacts
 from mvslam_tpu.core.persistence import (
     RunDataStore,
@@ -387,9 +388,16 @@ class SLAMSystem:
             return
         old_poses = [kf.pose.copy() for kf in window]
         with timed_event(self.telemetry, "local_ba", metadata={"window": len(window)}):
-            result = self._local_ba.refine_window(
-                window, key=self.registry.key_for("local_ba")
-            )
+            # Window BA is a latency-critical SMALL solve (a few hundred
+            # observations): place it on the host CPU backend when the
+            # accelerator is remote (core/hostdispatch.py). The scope also
+            # covers the PRNG key creation and every jnp staging op inside
+            # refine_window, so no committed accelerator array drags the
+            # programs back to the device. No-op in CPU-only CI.
+            with small_solve_scope():
+                result = self._local_ba.refine_window(
+                    window, key=self.registry.key_for("local_ba")
+                )
         if result is None or result.diagnostics.conditioning_tripped:
             return
         # Propagate each keyframe's rigid correction to its span of
@@ -426,12 +434,16 @@ class SLAMSystem:
         from mvslam_tpu.loopclosure.persistent_map import MapRelocalizer, load_map_snapshot
 
         self._map_snapshot = load_map_snapshot(arrays_path, metadata_path)
-        self._relocalizer = MapRelocalizer(
-            self._map_snapshot,
-            self.K,
-            min_inliers=self.config.relocalization_min_inliers,
-            key=self.registry.key_for("relocalization"),
-        )
+        # The relocalizer's PRNG key must live where relocalize() runs
+        # (small-solve placement) — a key committed to the accelerator
+        # would conflict with the host-staged query arrays.
+        with small_solve_scope():
+            self._relocalizer = MapRelocalizer(
+                self._map_snapshot,
+                self.K,
+                min_inliers=self.config.relocalization_min_inliers,
+                key=self.registry.key_for("relocalization"),
+            )
 
     def _ensure_relocalizer(self) -> bool:
         """Build a map snapshot + relocalizer from live keyframes on demand.
@@ -446,15 +458,15 @@ class SLAMSystem:
             from mvslam_tpu.loopclosure.map_builder import MapSnapshotBuilder
             from mvslam_tpu.loopclosure.persistent_map import MapRelocalizer
 
-            with timed_event(self.telemetry, "map_snapshot_build"):
+            with timed_event(self.telemetry, "map_snapshot_build"), small_solve_scope():
                 builder = MapSnapshotBuilder(key=self.registry.key_for("map_builder"))
                 self._map_snapshot, _ = builder.build_snapshot(self.keyframes.keyframes)
-            self._relocalizer = MapRelocalizer(
-                self._map_snapshot,
-                self.K,
-                min_inliers=self.config.relocalization_min_inliers,
-                key=self.registry.key_for("relocalization"),
-            )
+                self._relocalizer = MapRelocalizer(
+                    self._map_snapshot,
+                    self.K,
+                    min_inliers=self.config.relocalization_min_inliers,
+                    key=self.registry.key_for("relocalization"),
+                )
             return True
         except Exception as exc:  # pragma: no cover - defensive
             logger.warning("relocalizer construction failed", extra={"error": str(exc)})
@@ -471,7 +483,8 @@ class SLAMSystem:
             self.telemetry, "relocalization_search", metadata={"frame_id": frame_id}
         ) as meta:
             xy, desc, valid = features_provider()
-            hit = self._relocalizer.relocalize(xy, desc, valid)
+            with small_solve_scope():
+                hit = self._relocalizer.relocalize(xy, desc, valid)
             meta["success"] = hit is not None
             if hit is None:
                 return False

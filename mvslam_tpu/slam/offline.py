@@ -27,6 +27,8 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 
+from mvslam_tpu.core.hostdispatch import small_solve_scope
+
 logger = logging.getLogger(__name__)
 
 
@@ -433,16 +435,24 @@ def run_visual_slam(config: SLAMRunConfig) -> Dict[str, Any]:
             pose_source=config.pose_source,
         )
     )
-    bow = BoWDatabase(
-        BoWConfig(
-            vocab_size=64,
-            similarity_threshold=config.loop_similarity_threshold,
-            min_frame_gap=config.loop_min_frame_gap,
-            min_train_descriptors_factor=5,
-            device_index_capacity=config.device_bow_capacity,
-        ),
-        key=system.registry.key_for("bow"),
-    )
+    # BoW vocabulary training, histograms, and the device index are SMALL
+    # per-keyframe solves — construct (and later query) them under the
+    # small-solve scope so on a remote accelerator they live on the host
+    # CPU backend instead of paying a tunnel round trip per keyframe
+    # (core/hostdispatch.py; no-op in CPU-only CI). The meshed/scaled BoW
+    # index path (parallel dryrun §6) passes an explicit mesh and is
+    # unaffected.
+    with small_solve_scope():
+        bow = BoWDatabase(
+            BoWConfig(
+                vocab_size=64,
+                similarity_threshold=config.loop_similarity_threshold,
+                min_frame_gap=config.loop_min_frame_gap,
+                min_train_descriptors_factor=5,
+                device_index_capacity=config.device_bow_capacity,
+            ),
+            key=system.registry.key_for("bow"),
+        )
     animator = None
     if config.enable_animation:
         from mvslam_tpu.viz.path_animator import VehiclePathLiveAnimator
@@ -480,80 +490,93 @@ def run_visual_slam(config: SLAMRunConfig) -> Dict[str, Any]:
         if len(system.keyframes) > seen_keyframes:
             seen_keyframes = len(system.keyframes)
             kf = system.keyframes.keyframes[-1]
-            # ONE histogram round trip per keyframe (query-then-add fused);
-            # detect_loop + add_frame would compute it twice.
-            hit = bow.process_keyframe(kf.frame_id, kf.descriptors, kf.valid)
-            if hit is None:
-                return
-            cand_frame_id, score = hit
-            cand = next(
-                (k for k in system.keyframes.keyframes if k.frame_id == cand_frame_id), None
+            with small_solve_scope():
+                _handle_keyframe(kf)
+
+    def _handle_keyframe(kf):
+        """Per-keyframe loop-closure logic (BoW + verification + pose graph).
+
+        Runs entirely under ``small_solve_scope()``: every device program
+        here (BoW histogram/query, the fused loop geometry, pose-graph GN)
+        is a sub-millisecond solve whose remote round trips dominated the
+        full-system wall (r5: 2 RTs/keyframe + 2/accepted loop at
+        ~175 ms each). Host CPU placement removes them; CPU-only CI runs
+        the identical programs either way.
+        """
+        # ONE histogram computation per keyframe (query-then-add fused);
+        # detect_loop + add_frame would compute it twice.
+        hit = bow.process_keyframe(kf.frame_id, kf.descriptors, kf.valid)
+        if hit is None:
+            return
+        cand_frame_id, score = hit
+        cand = next(
+            (k for k in system.keyframes.keyframes if k.frame_id == cand_frame_id), None
+        )
+        if cand is None:
+            return
+        loops_detected.append(
+            {"query": kf.frame_id, "candidate": cand_frame_id, "bow_score": score}
+        )
+        logger.info(
+            "loop candidate", extra={"query": kf.frame_id, "candidate": cand_frame_id}
+        )
+        cand_idx = next(
+            i for i, k in enumerate(system.keyframes.keyframes)
+            if k.frame_id == cand_frame_id
+        )
+        neighbours = system.keyframes.keyframes
+        cand_next = (
+            neighbours[cand_idx + 1] if cand_idx + 1 < len(neighbours) else None
+        )
+        verified = _verify_loop(system, cand, kf, config, kf_a_next=cand_next)
+        if verified is None:
+            return
+        rel, inliers, ratio = verified
+        loops_accepted.append(
+            {
+                "query": kf.frame_id,
+                "candidate": cand_frame_id,
+                "inliers": inliers,
+                "inlier_ratio": ratio,
+            }
+        )
+        # Pose-graph correction over the keyframe chain (ref L650-655).
+        kfs = system.keyframes.keyframes
+        graph = PoseGraph3D.from_pose_matrices([k.pose for k in kfs])
+        id_to_node = {k.frame_id: idx for idx, k in enumerate(kfs)}
+        graph.add_loop_matrix(
+            id_to_node[cand_frame_id], id_to_node[kf.frame_id], rel, weight=5.0
+        )
+        graph.optimize(SolverConfig(max_iterations=15, damping=1e-4))
+        corrected = graph.poses()
+        # Propagate the correction into the recorded per-frame
+        # trajectory: each keyframe's rigid delta applies to its span
+        # of frames (loop closure must move the final estimate, not
+        # just the keyframe chain).
+        traj = system.trajectory
+        fid_to_idx = {f: i for i, f in enumerate(traj.frame_ids)}
+        for k, kf_obj in enumerate(kfs):
+            start = fid_to_idx.get(kf_obj.frame_id)
+            if start is None:
+                continue
+            delta = corrected[k] @ np.linalg.inv(kf_obj.pose)
+            end = (
+                fid_to_idx.get(kfs[k + 1].frame_id, len(traj.poses))
+                if k + 1 < len(kfs)
+                else len(traj.poses)
             )
-            if cand is None:
-                return
-            loops_detected.append(
-                {"query": kf.frame_id, "candidate": cand_frame_id, "bow_score": score}
-            )
-            logger.info(
-                "loop candidate", extra={"query": kf.frame_id, "candidate": cand_frame_id}
-            )
-            cand_idx = next(
-                i for i, k in enumerate(system.keyframes.keyframes)
-                if k.frame_id == cand_frame_id
-            )
-            neighbours = system.keyframes.keyframes
-            cand_next = (
-                neighbours[cand_idx + 1] if cand_idx + 1 < len(neighbours) else None
-            )
-            verified = _verify_loop(system, cand, kf, config, kf_a_next=cand_next)
-            if verified is None:
-                return
-            rel, inliers, ratio = verified
-            loops_accepted.append(
-                {
-                    "query": kf.frame_id,
-                    "candidate": cand_frame_id,
-                    "inliers": inliers,
-                    "inlier_ratio": ratio,
-                }
-            )
-            # Pose-graph correction over the keyframe chain (ref L650-655).
-            kfs = system.keyframes.keyframes
-            graph = PoseGraph3D.from_pose_matrices([k.pose for k in kfs])
-            id_to_node = {k.frame_id: idx for idx, k in enumerate(kfs)}
-            graph.add_loop_matrix(
-                id_to_node[cand_frame_id], id_to_node[kf.frame_id], rel, weight=5.0
-            )
-            graph.optimize(SolverConfig(max_iterations=15, damping=1e-4))
-            corrected = graph.poses()
-            # Propagate the correction into the recorded per-frame
-            # trajectory: each keyframe's rigid delta applies to its span
-            # of frames (loop closure must move the final estimate, not
-            # just the keyframe chain).
-            traj = system.trajectory
-            fid_to_idx = {f: i for i, f in enumerate(traj.frame_ids)}
-            for k, kf_obj in enumerate(kfs):
-                start = fid_to_idx.get(kf_obj.frame_id)
-                if start is None:
-                    continue
-                delta = corrected[k] @ np.linalg.inv(kf_obj.pose)
-                end = (
-                    fid_to_idx.get(kfs[k + 1].frame_id, len(traj.poses))
-                    if k + 1 < len(kfs)
-                    else len(traj.poses)
-                )
-                for idx in range(start, end):
-                    traj.poses[idx] = delta @ traj.poses[idx]
-            for k, kf_obj in enumerate(kfs):
-                kf_obj.pose = corrected[k]
-            system._pose = corrected[-1].copy()
-            if animator is not None:
-                animator.set_optimized([(p[0, 3], p[2, 3]) for p in corrected])
-                animator.add_loop_edge(id_to_node[cand_frame_id], id_to_node[kf.frame_id])
-            logger.info(
-                "loop accepted",
-                extra={"query": kf.frame_id, "candidate": cand_frame_id, "inliers": inliers},
-            )
+            for idx in range(start, end):
+                traj.poses[idx] = delta @ traj.poses[idx]
+        for k, kf_obj in enumerate(kfs):
+            kf_obj.pose = corrected[k]
+        system._pose = corrected[-1].copy()
+        if animator is not None:
+            animator.set_optimized([(p[0, 3], p[2, 3]) for p in corrected])
+            animator.add_loop_edge(id_to_node[cand_frame_id], id_to_node[kf.frame_id])
+        logger.info(
+            "loop accepted",
+            extra={"query": kf.frame_id, "candidate": cand_frame_id, "inliers": inliers},
+        )
 
     # Windowed device dispatch (one program + one scalar pull per window)
     # with the per-frame host logic — including the loop-closure hook
