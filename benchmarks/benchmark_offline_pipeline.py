@@ -68,7 +68,7 @@ def _run(root: Path, gt_path: Path, out_root: Path, run_id: str, **overrides):
     return fps, summary
 
 
-def main(num_frames: int = 29):
+def main(num_frames: int = 29, passes: int = 3):
     ensure_live_backend()
     with tempfile.TemporaryDirectory() as tmp:
         tmp = Path(tmp)
@@ -78,10 +78,23 @@ def main(num_frames: int = 29):
         # keyframe window fills / a loop is accepted, so a short warmup
         # would leave the timed "full" leg paying their compiles).
         _run(root, gt_path, tmp / "warm", "warmup")
-        fps_full, s_full = _run(root, gt_path, tmp / "runs", "full")
-        fps_bare, s_bare = _run(
-            root, gt_path, tmp / "runs", "tracking_only",
-            enable_loop_closure=False, enable_local_ba=False,
+        # Best-of-passes, same convention as bench.py: the tunnel has
+        # multi-minute degraded phases (3-10x on every launch/fetch) that
+        # would otherwise decide the recorded number; every pass is
+        # emitted so the spread stays visible in the JSONL.
+        fps_full, s_full = max(
+            (_run(root, gt_path, tmp / "runs", f"full_p{i}") for i in range(passes)),
+            key=lambda t: t[0],
+        )
+        fps_bare, s_bare = max(
+            (
+                _run(
+                    root, gt_path, tmp / "runs", f"tracking_only_p{i}",
+                    enable_loop_closure=False, enable_local_ba=False,
+                )
+                for i in range(passes)
+            ),
+            key=lambda t: t[0],
         )
         emit(
             "offline_pipeline_ba_loop_overhead",

@@ -451,38 +451,100 @@ def _gated_pair_packed(key, a_id, b_id, descA, validA, kpA, descB, validB, kpB, 
     import jax
 
     if _PAIR_GATE is None:
-        from mvslam_tpu.geometry.projection import normalize_pixels
-        from mvslam_tpu.ops.hamming import (
-            MatchConfig,
-            gather_matched_points,
-            match_descriptors,
-            select_matches,
-        )
-        from mvslam_tpu.ops.ransac import RansacConfig, ransac_essential
+        from mvslam_tpu.ops.hamming import MatchConfig, match_descriptors
 
         def impl(key, a_id, b_id, descA, validA, kpA, descB, validB, kpB, K, thresh):
             res = match_descriptors(descA, validA, descB, validB, MatchConfig(cross_check=True))
-            sel = select_matches(res, max_matches=_PAIR_GATE_M)
-            p1, p2 = gather_matched_points(kpA, kpB, sel)
-            r = ransac_essential(
-                jax.random.fold_in(jax.random.fold_in(key, a_id), b_id),
-                normalize_pixels(p1, K),
-                normalize_pixels(p2, K),
-                sel.valid,
-                RansacConfig(num_hypotheses=128, min_inliers=8),
-                threshold=thresh,
-            )
-            mask = sel.valid & jnp.where(r.success, r.inliers, True)
-            return jnp.concatenate(
-                [
-                    sel.pairs[:, 0].astype(jnp.float32),
-                    sel.pairs[:, 1].astype(jnp.float32),
-                    mask.astype(jnp.float32),
-                ]
+            return _pair_gate_post(
+                key, a_id, b_id, res.indices, res.distances, res.second_distances,
+                res.valid, kpA, kpB, K, thresh,
             )
 
         _PAIR_GATE = jax.jit(impl)
     return _PAIR_GATE(key, a_id, b_id, descA, validA, kpA, descB, validB, kpB, K, thresh)
+
+
+def _pair_gate_post(key, a_id, b_id, idx, dist, second, ok, kpA, kpB, K, thresh):
+    """Select + RANSAC gate + pack, given a MatchResult's arrays.
+
+    Shared by the fused device program (inlined under ``_PAIR_GATE``'s
+    jit, so the fused jaxpr is unchanged by this refactor) and the host
+    path below, which feeds it the native matcher's numpy outputs.
+    """
+    import jax
+
+    from mvslam_tpu.geometry.projection import normalize_pixels
+    from mvslam_tpu.ops.hamming import (
+        MatchResult,
+        gather_matched_points,
+        select_matches,
+    )
+    from mvslam_tpu.ops.ransac import RansacConfig, ransac_essential
+
+    sel = select_matches(MatchResult(idx, dist, second, ok), max_matches=_PAIR_GATE_M)
+    p1, p2 = gather_matched_points(kpA, kpB, sel)
+    r = ransac_essential(
+        jax.random.fold_in(jax.random.fold_in(key, a_id), b_id),
+        normalize_pixels(p1, K),
+        normalize_pixels(p2, K),
+        sel.valid,
+        RansacConfig(num_hypotheses=128, min_inliers=8),
+        threshold=thresh,
+    )
+    mask = sel.valid & jnp.where(r.success, r.inliers, True)
+    return jnp.concatenate(
+        [
+            sel.pairs[:, 0].astype(jnp.float32),
+            sel.pairs[:, 1].astype(jnp.float32),
+            mask.astype(jnp.float32),
+        ]
+    )
+
+
+def _use_host_matcher() -> bool:
+    """True when small solves execute on the host CPU and the native
+    matcher is available — i.e. the N x M matching stage should bypass
+    XLA:CPU. False keeps the fused single-program device path."""
+    from mvslam_tpu import native
+    from mvslam_tpu.core.hostdispatch import small_solve_device
+
+    if not native.native_available():
+        return False
+    if small_solve_device() is not None:
+        return True
+    import jax
+
+    return jax.default_backend() == "cpu"
+
+
+_PAIR_GATE_HOST_POST = None
+
+
+def _gated_pair_host(key, a_id, b_id, descA, validA, kpA, descB, validB, kpB, K, thresh):
+    """Host-path pair gate: native C++ matcher + jitted post stage.
+
+    Same buffer contract as :func:`_gated_pair_packed`. The matcher's
+    outputs are bitwise-identical to the in-program matcher
+    (tests/test_native.py), and the post stage is the same traced code;
+    only XLA's fusion boundary moves, so results can differ from the
+    fused program at most at ULP level in the RANSAC floats. Used when
+    the solve executes on the host CPU (small-solve placement), where the
+    N x M matching stage is ~10x faster natively than under XLA:CPU.
+    """
+    global _PAIR_GATE_HOST_POST
+    import jax
+
+    from mvslam_tpu.core.hostdispatch import small_solve_scope
+    from mvslam_tpu.ops.hamming import MatchConfig, match_descriptors_host
+
+    res = match_descriptors_host(descA, validA, descB, validB, MatchConfig(cross_check=True))
+    if _PAIR_GATE_HOST_POST is None:
+        _PAIR_GATE_HOST_POST = jax.jit(_pair_gate_post)
+    with small_solve_scope():  # idempotent under refine_window's caller scope
+        return _PAIR_GATE_HOST_POST(
+            key, a_id, b_id, res.indices, res.distances, res.second_distances,
+            res.valid, kpA, kpB, K, thresh,
+        )
 
 
 class WindowBundleAdjuster:
@@ -541,8 +603,9 @@ class WindowBundleAdjuster:
             cache_key = (a.frame_id, b.frame_id)
             pairs = self._pair_cache.get(cache_key)
             if pairs is None:
+                gate = _gated_pair_host if _use_host_matcher() else _gated_pair_packed
                 buf = np.asarray(  # ONE launch + ONE fetch (see _gated_pair_packed)
-                    _gated_pair_packed(
+                    gate(
                         key,
                         jnp.asarray(a.frame_id, jnp.int32),
                         jnp.asarray(b.frame_id, jnp.int32),

@@ -98,6 +98,19 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64),
         ]
         lib.mvn_loader_destroy.argtypes = [ctypes.c_void_p]
+        lib.mvn_hamming_match.restype = None
+        lib.mvn_hamming_match.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         _lib = lib
         return _lib
 
@@ -105,6 +118,49 @@ def _load() -> Optional[ctypes.CDLL]:
 def native_available() -> bool:
     """True when the C++ library compiled and loaded on this host."""
     return _load() is not None
+
+
+def hamming_match(
+    desc_a: np.ndarray,
+    valid_a: np.ndarray,
+    desc_b: np.ndarray,
+    valid_b: np.ndarray,
+):
+    """Brute-force packed-Hamming match (C++; see mvn_hamming_match).
+
+    Inputs: (N, 8) uint32 packed descriptors + (N,) bool masks. Returns
+    ``(best_idx i32 (Na,), best f32, second f32, col_best i32 (Nb,))``
+    with semantics bitwise-identical to the XLA matcher
+    (``ops/hamming.py::match_descriptors`` — parity: tests/test_native.py).
+    Returns None when the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    desc_a = np.ascontiguousarray(desc_a, np.uint32)
+    desc_b = np.ascontiguousarray(desc_b, np.uint32)
+    va = np.ascontiguousarray(valid_a, np.uint8)
+    vb = np.ascontiguousarray(valid_b, np.uint8)
+    na, nb = desc_a.shape[0], desc_b.shape[0]
+    if desc_a.shape != (na, 8) or desc_b.shape != (nb, 8) or va.shape != (na,) or vb.shape != (nb,):
+        raise ValueError("hamming_match expects (N, 8) uint32 descriptors and (N,) masks")
+    best_idx = np.empty(na, np.int32)
+    best = np.empty(na, np.float32)
+    second = np.empty(na, np.float32)
+    col_best = np.empty(nb, np.int32)
+    lib.mvn_hamming_match(
+        desc_a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        va.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        np.int32(na),
+        desc_b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        vb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        np.int32(nb),
+        best_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        best.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        second.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        col_best.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return best_idx, best, second, col_best
 
 
 # Default capacity bounds: generous for KITTI (1242x376) / TUM (640x480)

@@ -33,13 +33,17 @@ _CXX_FLAGS = [
     "-Wall",
     "-pthread",
 ]
+# Host-tuned ISA for the Hamming matcher's popcount loop (AVX-512
+# VPOPCNTQ on the measurement host). Tried first; if the compiler
+# rejects it (cross/old toolchains), build() retries without.
+_ARCH_FLAGS = ["-march=native"]
 _LIBS = ["-lpng", "-lz"]
 
 
 def _build_key(cxx: str) -> str:
     digest = hashlib.sha256()
     digest.update(_SRC.read_bytes())
-    digest.update(" ".join([cxx] + _CXX_FLAGS + _LIBS).encode())
+    digest.update(" ".join([cxx] + _CXX_FLAGS + _ARCH_FLAGS + _LIBS).encode())
     return digest.hexdigest()[:16]
 
 
@@ -75,16 +79,25 @@ def build(force: bool = False) -> Optional[Path]:
     # parallel benchmarks) race benignly — rename is atomic on POSIX.
     with tempfile.NamedTemporaryFile(dir=_BUILD_DIR, suffix=".so", delete=False) as tmp:
         tmp_path = Path(tmp.name)
-    cmd = [cxx, *_CXX_FLAGS, "-o", str(tmp_path), str(_SRC), *_LIBS]
-    try:
-        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
-    except (OSError, subprocess.TimeoutExpired) as exc:
+    proc = None
+    for arch in (_ARCH_FLAGS, []):
+        cmd = [cxx, *_CXX_FLAGS, *arch, "-o", str(tmp_path), str(_SRC), *_LIBS]
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+        except (OSError, subprocess.TimeoutExpired) as exc:
+            tmp_path.unlink(missing_ok=True)
+            logger.warning("native build failed to launch: %s", exc)
+            return None
+        if proc.returncode == 0:
+            break
+        logger.warning(
+            "native build with flags %s failed, %s:\n%s",
+            arch,
+            "retrying generic" if arch else "giving up",
+            proc.stderr[-4000:],
+        )
+    if proc is None or proc.returncode != 0:
         tmp_path.unlink(missing_ok=True)
-        logger.warning("native build failed to launch: %s", exc)
-        return None
-    if proc.returncode != 0:
-        tmp_path.unlink(missing_ok=True)
-        logger.warning("native build failed:\n%s", proc.stderr[-4000:])
         return None
     tmp_path.replace(out)
     logger.info("built native library: %s", out)

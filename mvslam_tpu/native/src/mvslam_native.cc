@@ -405,3 +405,87 @@ MVN_EXPORT void mvn_loader_stats(void* loader, int64_t* decoded, int64_t* failed
 }
 
 MVN_EXPORT void mvn_loader_destroy(void* loader) { delete static_cast<FrameLoader*>(loader); }
+
+// ---------------------------------------------------------------------------
+// Packed-Hamming brute-force matcher — the host small-solve path's hot op.
+//
+// Replicates ops/hamming.py::match_descriptors EXACTLY (integer Hamming
+// distances; argmin tie-break = lowest index; masked rows/columns behave
+// like the +1e9 sentinel): the XLA path computes d via an exact 0/1 bf16
+// matmul, so both paths produce identical f32 distance values and the
+// Python wrapper can assert bitwise parity (tests/test_native.py).
+//
+// Why native: on the single-core measurement host, XLA:CPU takes ~79 ms
+// for a 2048x2048 cross-check match — the dominant cost of every
+// host-placed window-BA pair gate and loop-geometry solve (the RANSAC
+// stage is ~3 ms). The inner loop XORs 4x u64 lanes per pair and relies
+// on -march=native auto-vectorization (AVX-512 VPOPCNTQ where present;
+// build.py falls back to a generic build if -march=native fails).
+//
+// Outputs per query row i: best_idx (first-min column), best / second
+// distances (second excludes only the best COLUMN, so duplicate minima
+// yield second == best, like the XLA d_masked pass). col_best[j] is the
+// first-min ROW per train column (cross-check support). Invalid rows /
+// all-invalid columns produce idx 0 and distance 1e9, matching argmin
+// over an all-sentinel row.
+MVN_EXPORT void mvn_hamming_match(const uint32_t* desc_a, const uint8_t* valid_a, int32_t na,
+                                  const uint32_t* desc_b, const uint8_t* valid_b, int32_t nb,
+                                  int32_t* best_idx, float* best, float* second,
+                                  int32_t* col_best) {
+  constexpr float kBig = 1e9f;
+  // Planar u64 transpose of desc_b: lane k of every row contiguous, so the
+  // per-row distance loop vectorizes across j.
+  std::vector<uint64_t> plane(static_cast<size_t>(nb) * 4);
+  uint64_t* p0 = plane.data();
+  uint64_t* p1 = p0 + nb;
+  uint64_t* p2 = p1 + nb;
+  uint64_t* p3 = p2 + nb;
+  for (int32_t j = 0; j < nb; ++j) {
+    uint64_t row[4];
+    std::memcpy(row, desc_b + static_cast<size_t>(j) * 8, 32);
+    p0[j] = row[0];
+    p1[j] = row[1];
+    p2[j] = row[2];
+    p3[j] = row[3];
+  }
+  std::vector<uint16_t> drow(nb);
+  std::vector<float> col_val(nb, kBig);
+  for (int32_t j = 0; j < nb; ++j) col_best[j] = 0;
+  for (int32_t i = 0; i < na; ++i) {
+    if (!valid_a[i]) {
+      best_idx[i] = 0;
+      best[i] = kBig;
+      second[i] = kBig;
+      continue;
+    }
+    uint64_t a[4];
+    std::memcpy(a, desc_a + static_cast<size_t>(i) * 8, 32);
+    const uint64_t a0 = a[0], a1 = a[1], a2 = a[2], a3 = a[3];
+    uint16_t* d = drow.data();
+    for (int32_t j = 0; j < nb; ++j) {
+      d[j] = static_cast<uint16_t>(
+          __builtin_popcountll(a0 ^ p0[j]) + __builtin_popcountll(a1 ^ p1[j]) +
+          __builtin_popcountll(a2 ^ p2[j]) + __builtin_popcountll(a3 ^ p3[j]));
+    }
+    float bv = kBig, sv = kBig;
+    int32_t bi = 0;
+    for (int32_t j = 0; j < nb; ++j) {
+      if (!valid_b[j]) continue;
+      const float dj = static_cast<float>(d[j]);
+      if (dj < bv) {
+        sv = bv;
+        bv = dj;
+        bi = j;
+      } else if (dj < sv) {
+        sv = dj;
+      }
+      if (dj < col_val[j]) {
+        col_val[j] = dj;
+        col_best[j] = i;
+      }
+    }
+    best_idx[i] = bi;
+    best[i] = bv;
+    second[i] = sv;
+  }
+}

@@ -247,6 +247,97 @@ _LOOP_GEOM = None
 _LOOP_GEOM_M = 256  # max matches per loop pair (matches _match_pair_essential)
 
 
+def _loop_pair_post(base_key, salt, idx, dist, second, ok, kpA, kpB, K, thresh):
+    """Post-match loop geometry for ONE pair: select → normalise →
+    essential RANSAC → decompose → triangulate → pack one row.
+
+    Shared by the fused multi-pair program (inlined under ``_LOOP_GEOM``'s
+    jit — the fused jaxpr is unchanged by this refactor) and the host
+    matcher path, which feeds it the native matcher's bitwise-identical
+    numpy outputs.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mvslam_tpu.geometry.epipolar import decompose_essential, triangulate_normalized
+    from mvslam_tpu.geometry.projection import normalize_pixels
+    from mvslam_tpu.ops.hamming import MatchResult, gather_matched_points, select_matches
+    from mvslam_tpu.ops.ransac import RansacConfig, ransac_essential
+
+    sel = select_matches(MatchResult(idx, dist, second, ok), max_matches=_LOOP_GEOM_M)
+    p1, p2 = gather_matched_points(kpA, kpB, sel)
+    n1 = normalize_pixels(p1, K)
+    n2 = normalize_pixels(p2, K)
+    r = ransac_essential(
+        jax.random.fold_in(base_key, salt), n1, n2, sel.valid,
+        RansacConfig(num_hypotheses=256, min_inliers=0),
+        threshold=thresh,
+    )
+    w = r.inliers.astype(jnp.float32)
+    R, t, _ = decompose_essential(r.model, n1, n2, weights=w)
+    X = triangulate_normalized(R, t, n1, n2)
+    head = jnp.concatenate(
+        [
+            jnp.stack(
+                [
+                    sel.num_valid.astype(jnp.float32),
+                    r.num_inliers.astype(jnp.float32),
+                    r.inlier_ratio,
+                    jnp.zeros((), jnp.float32),
+                ]
+            ),
+            R.reshape(9),
+            t,
+        ]
+    )
+    mask = (sel.valid & r.inliers).astype(jnp.float32)
+    return jnp.concatenate([head, X[:, 2], sel.pairs[:, 0].astype(jnp.float32), mask])
+
+
+_LOOP_PAIR_POST_JIT = None
+
+
+def _loop_geometry_host(system, kf_a, kf_bs, salts):
+    """Host-path loop geometry: native C++ matcher + jitted post per pair.
+
+    Same row contract as the fused program. Each pair's matching runs in
+    ~8 ms natively instead of ~79 ms under XLA:CPU; the post stage is the
+    same traced code with only the fusion boundary moved (ULP-level float
+    differences at most). Two small jit calls instead of one — free on
+    the host; the fused single-launch program remains the device path.
+    """
+    global _LOOP_PAIR_POST_JIT
+    import jax
+    import jax.numpy as jnp
+
+    from mvslam_tpu.ops.hamming import MatchConfig, match_descriptors_host
+
+    if _LOOP_PAIR_POST_JIT is None:
+        _LOOP_PAIR_POST_JIT = jax.jit(_loop_pair_post)
+    rows = []
+    with small_solve_scope():  # idempotent under _handle_keyframe's scope
+        K = jnp.asarray(system.K, jnp.float32)
+        base_key = system.registry.key_for("loop_closure")
+        thresh = 2.0 / float(system.K[0, 0])
+        for salt, kf_b in zip(salts, kf_bs):
+            res = match_descriptors_host(
+                kf_a.descriptors, kf_a.valid, kf_b.descriptors, kf_b.valid,
+                MatchConfig(cross_check=True),
+            )
+            rows.append(
+                np.asarray(
+                    _LOOP_PAIR_POST_JIT(
+                        base_key, jnp.asarray(salt, jnp.int32),
+                        res.indices, res.distances, res.second_distances, res.valid,
+                        jnp.asarray(kf_a.keypoints, jnp.float32),
+                        jnp.asarray(kf_b.keypoints, jnp.float32),
+                        K, thresh,
+                    )
+                )
+            )
+    return np.stack(rows)
+
+
 def _loop_geometry(system, kf_a, kf_bs, salts):
     """Fused loop geometry: ONE device program + ONE packed fetch.
 
@@ -268,55 +359,23 @@ def _loop_geometry(system, kf_a, kf_bs, salts):
     unchanged. ``min_inliers`` gates move to the host (they only affect
     the success flag, never the model).
     """
+    from mvslam_tpu.backend.bundle_adjustment import _use_host_matcher
+
+    if _use_host_matcher():
+        return _loop_geometry_host(system, kf_a, kf_bs, salts)
+
     global _LOOP_GEOM
     import jax
     import jax.numpy as jnp
 
     if _LOOP_GEOM is None:
-        from mvslam_tpu.geometry.epipolar import (
-            decompose_essential,
-            triangulate_normalized,
-        )
-        from mvslam_tpu.geometry.projection import normalize_pixels
-        from mvslam_tpu.ops.hamming import (
-            MatchConfig,
-            gather_matched_points,
-            match_descriptors,
-            select_matches,
-        )
-        from mvslam_tpu.ops.ransac import RansacConfig, ransac_essential
+        from mvslam_tpu.ops.hamming import MatchConfig, match_descriptors
 
         def one_pair(base_key, salt, kpA, descA, validA, kpB, descB, validB, K, thresh):
             res = match_descriptors(descA, validA, descB, validB, MatchConfig(cross_check=True))
-            sel = select_matches(res, max_matches=_LOOP_GEOM_M)
-            p1, p2 = gather_matched_points(kpA, kpB, sel)
-            n1 = normalize_pixels(p1, K)
-            n2 = normalize_pixels(p2, K)
-            r = ransac_essential(
-                jax.random.fold_in(base_key, salt), n1, n2, sel.valid,
-                RansacConfig(num_hypotheses=256, min_inliers=0),
-                threshold=thresh,
-            )
-            w = r.inliers.astype(jnp.float32)
-            R, t, _ = decompose_essential(r.model, n1, n2, weights=w)
-            X = triangulate_normalized(R, t, n1, n2)
-            head = jnp.concatenate(
-                [
-                    jnp.stack(
-                        [
-                            sel.num_valid.astype(jnp.float32),
-                            r.num_inliers.astype(jnp.float32),
-                            r.inlier_ratio,
-                            jnp.zeros((), jnp.float32),
-                        ]
-                    ),
-                    R.reshape(9),
-                    t,
-                ]
-            )
-            mask = (sel.valid & r.inliers).astype(jnp.float32)
-            return jnp.concatenate(
-                [head, X[:, 2], sel.pairs[:, 0].astype(jnp.float32), mask]
+            return _loop_pair_post(
+                base_key, salt, res.indices, res.distances, res.second_distances,
+                res.valid, kpA, kpB, K, thresh,
             )
 
         def impl(base_key, salts, kpA, descA, validA, kpBs, descBs, validBs, K, thresh):
