@@ -689,8 +689,16 @@ def run_visual_slam(config: SLAMRunConfig) -> Dict[str, Any]:
         summary["ground_truth"] = "oxts"
     if animator is not None:
         animator.stop()
+    # Persist WITHOUT run_dir: the two-run determinism contract
+    # (eval/determinism_validation.py — every artifact bitwise equal for
+    # identical config+seed) must hold across different output roots, and
+    # both the absolute path and the timestamped directory name can never
+    # match between runs. The file lives inside the run dir, so the field
+    # carries no information there; the returned in-memory summary keeps
+    # it for callers.
+    persisted = {k: v for k, v in summary.items() if k != "run_dir"}
     (result.run_dir / "offline_summary.json").write_text(
-        json.dumps(summary, indent=2, sort_keys=True, default=str)
+        json.dumps(persisted, indent=2, sort_keys=True, default=str)
     )
     return summary
 
