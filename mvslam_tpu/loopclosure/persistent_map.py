@@ -209,16 +209,31 @@ class MapRelocalizer:
         q_xy = jnp.asarray(keypoints, jnp.float32)
         fx = float(self.K[0, 0])
 
+        # Relocalization is the most latency-critical host path of all (it
+        # runs while tracking is LOST): when executing on the host CPU,
+        # the per-candidate N x M matching uses the native popcount
+        # matcher (bitwise-identical results; ~10x less matching wall per
+        # candidate on the single-core measurement host).
+        from mvslam_tpu.backend.bundle_adjustment import _use_host_matcher
+        from mvslam_tpu.ops.hamming import match_descriptors_host
+
+        use_host = _use_host_matcher()
         best = None
         for idx in order:
             kf = snap.keyframes[idx]
-            res = match_descriptors(
-                jnp.asarray(kf.descriptors, jnp.uint32),
-                jnp.asarray(kf.valid),
-                q_desc,
-                q_valid,
-                MatchConfig(cross_check=True),
-            )
+            if use_host:
+                res = match_descriptors_host(
+                    kf.descriptors, kf.valid, descriptors, valid,
+                    MatchConfig(cross_check=True),
+                )
+            else:
+                res = match_descriptors(
+                    jnp.asarray(kf.descriptors, jnp.uint32),
+                    jnp.asarray(kf.valid),
+                    q_desc,
+                    q_valid,
+                    MatchConfig(cross_check=True),
+                )
             sel = select_matches(res, max_matches=256)
             if int(sel.num_valid) < 8:
                 continue
